@@ -1,0 +1,212 @@
+"""Scan geometry: TIGRE-convention cone/parallel-beam + tilted-axis laminography.
+
+Capability parity with the reference geometry layer
+(``/root/reference/src/dataset/tigre.py:183-610``) but TPU-first: rays are
+*pure jit-compiled functions* of (geometry, angles) instead of giant
+precomputed host tensors — regenerating a view's ray bundle on device is a
+few microseconds of VPU work, so nothing needs to be staged through host
+memory.
+
+Conventions (matching the reference bit-for-bit; golden-value tests in
+``tests/test_geometry.py``):
+
+- All lengths converted mm -> m on ingestion (``tigre.py:191-209``).
+- Detector plane is OpenCV-style: pixel (row r, col c) maps to
+  ``u = (c + 0.5 - W/2) * dDetector[0] + offDetector[0]``,
+  ``v = (r + 0.5 - H/2) * dDetector[1] + offDetector[1]``
+  (``tigre.py:428-429``, note ``nDetector = [W, H]``).
+- Pose: ``R3(theta, z) @ R2(pi/2, z) @ R1(-pi/2, x) @ R4(tilt, clockwise-x)``
+  with translation ``[DSO cos(theta), DSO sin(theta), DSO tan(tilt)]``
+  (``tigre.py:530-572``) — the tilted-axis laminography core.
+- near/far from the max in-plane distance of the volume corners
+  (``tigre.py:575-586``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class ConeGeometry:
+    """Static scan geometry (hashable -> usable as a jit static argument).
+
+    Mirrors the reference ``ConeGeometry`` (``tigre.py:183-217``); all
+    distances in meters.
+    """
+
+    DSD: float                      # distance source -> detector (m)
+    DSO: float                      # distance source -> origin (m)
+    nDetector: Tuple[int, int]      # detector pixels, (W, H)
+    dDetector: Tuple[float, float]  # pixel size (m)
+    nVoxel: Tuple[int, int, int]    # voxels
+    dVoxel: Tuple[float, float, float]  # voxel size (m)
+    offOrigin: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    offDetector: Tuple[float, float] = (0.0, 0.0)
+    accuracy: float = 0.5
+    mode: str = "cone"              # "cone" | "parallel"
+    filter: Any = None
+    tilt_angle: float = 0.0         # laminography tilt (degrees)
+
+    @classmethod
+    def from_dict(cls, data: Dict[str, Any]) -> "ConeGeometry":
+        """Build from a reference-format pickle dict (mm -> m)."""
+        return cls(
+            DSD=float(data["DSD"]) / 1000.0,
+            DSO=float(data["DSO"]) / 1000.0,
+            nDetector=tuple(int(x) for x in data["nDetector"]),
+            dDetector=tuple(float(x) / 1000.0 for x in np.asarray(data["dDetector"]).ravel()),
+            nVoxel=tuple(int(x) for x in data["nVoxel"]),
+            dVoxel=tuple(float(x) / 1000.0 for x in np.asarray(data["dVoxel"]).ravel()),
+            offOrigin=tuple(float(x) / 1000.0 for x in np.asarray(data["offOrigin"]).ravel()),
+            offDetector=tuple(float(x) / 1000.0 for x in np.asarray(data["offDetector"]).ravel()[:2]),
+            accuracy=float(data.get("accuracy", 0.5)),
+            mode=str(data["mode"]),
+            filter=None,
+            tilt_angle=float(data.get("tilt_angle", 0.0)),
+        )
+
+    # Derived quantities -------------------------------------------------
+    @property
+    def sDetector(self) -> Tuple[float, float]:
+        return (self.nDetector[0] * self.dDetector[0], self.nDetector[1] * self.dDetector[1])
+
+    @property
+    def sVoxel(self) -> Tuple[float, float, float]:
+        return tuple(n * d for n, d in zip(self.nVoxel, self.dVoxel))
+
+
+def angle_to_pose(DSO: float, angle, tilt_angle_deg: float):
+    """4x4 pose of the source/detector frame at scan angle ``angle`` (rad).
+
+    Matches the reference composition exactly (``tigre.py:530-572``):
+    ``rot = R3(angle, z) @ R2(pi/2, z) @ R1(-pi/2, x) @ R4(tilt, clockwise-x)``
+    and ``trans = [DSO cos, DSO sin, DSO tan(tilt)]``.  ``angle`` may be a
+    traced scalar; the result is differentiable and vmappable.
+    """
+    angle = jnp.asarray(angle, dtype=jnp.float32)
+    tilt = jnp.float32(np.radians(tilt_angle_deg))
+
+    c, s = jnp.cos(angle), jnp.sin(angle)
+    ct, st = jnp.cos(tilt), jnp.sin(tilt)
+    zero = jnp.zeros_like(c)
+    one = jnp.ones_like(c)
+
+    # R1: rotation by -pi/2 about x; R2: +pi/2 about z.  Their product is a
+    # constant matrix; R3 is the scan rotation about z; R4 the clockwise
+    # tilt about x.  Composed analytically below to avoid 4 chained matmuls
+    # per angle (XLA would fuse them anyway; this keeps the trace small).
+    phi1 = -np.pi / 2
+    R1 = np.array([[1.0, 0.0, 0.0],
+                   [0.0, np.cos(phi1), -np.sin(phi1)],
+                   [0.0, np.sin(phi1), np.cos(phi1)]], dtype=np.float32)
+    phi2 = np.pi / 2
+    R2 = np.array([[np.cos(phi2), -np.sin(phi2), 0.0],
+                   [np.sin(phi2), np.cos(phi2), 0.0],
+                   [0.0, 0.0, 1.0]], dtype=np.float32)
+    R21 = jnp.asarray(R2 @ R1)  # constant
+
+    R3 = jnp.stack([
+        jnp.stack([c, -s, zero], -1),
+        jnp.stack([s, c, zero], -1),
+        jnp.stack([zero, zero, one], -1),
+    ], -2)
+    R4 = jnp.stack([
+        jnp.stack([one, zero, zero], -1),
+        jnp.stack([zero, ct * one, st * one], -1),
+        jnp.stack([zero, -st * one, ct * one], -1),
+    ], -2)
+
+    rot = R3 @ R21 @ R4
+    trans = jnp.stack([DSO * c, DSO * s, DSO * jnp.tan(tilt) * one], -1)
+
+    pose = jnp.zeros(angle.shape + (4, 4), dtype=jnp.float32)
+    pose = pose.at[..., :3, :3].set(rot)
+    pose = pose.at[..., :3, 3].set(trans)
+    pose = pose.at[..., 3, 3].set(1.0)
+    return pose
+
+
+def detector_uv(geo: ConeGeometry):
+    """Detector-plane coordinates per pixel, shape [H, W] each.
+
+    ``u`` varies along columns, ``v`` along rows (``tigre.py:428-429``).
+    """
+    W, H = geo.nDetector
+    cols = jnp.arange(W, dtype=jnp.float32)
+    rows = jnp.arange(H, dtype=jnp.float32)
+    u = (cols[None, :] + 0.5 - W / 2) * geo.dDetector[0] + geo.offDetector[0]
+    v = (rows[:, None] + 0.5 - H / 2) * geo.dDetector[1] + geo.offDetector[1]
+    u = jnp.broadcast_to(u, (H, W))
+    v = jnp.broadcast_to(v, (H, W))
+    return u, v
+
+
+def rays_for_angle(geo: ConeGeometry, angle):
+    """Ray bundle for one scan angle: returns (origins, dirs), each [H, W, 3].
+
+    Cone mode: ``d = R @ [u/DSD, v/DSD, 1]`` (unnormalized; the integrator
+    multiplies path lengths by ``|d|``), origin = source position.
+    Parallel mode: ``d = R @ [0,0,1]``, origins on the rotated detector
+    plane.  (``tigre.py:434-447`` / ``tigre.py:480-501``.)
+    """
+    pose = angle_to_pose(geo.DSO, angle, geo.tilt_angle)
+    R = pose[:3, :3]
+    t = pose[:3, 3]
+    u, v = detector_uv(geo)
+
+    if geo.mode == "cone":
+        dirs = jnp.stack([u / geo.DSD, v / geo.DSD, jnp.ones_like(u)], -1)
+        rays_d = jnp.einsum("ij,hwj->hwi", R, dirs)
+        rays_o = jnp.broadcast_to(t, rays_d.shape)
+    elif geo.mode == "parallel":
+        dirs = jnp.stack([jnp.zeros_like(u), jnp.zeros_like(u), jnp.ones_like(u)], -1)
+        rays_d = jnp.einsum("ij,hwj->hwi", R, dirs)
+        plane = jnp.stack([u, v, jnp.zeros_like(u)], -1)
+        rays_o = jnp.einsum("ij,hwj->hwi", R, plane) + t
+    else:
+        raise NotImplementedError(f"Unknown CT scanner mode {geo.mode!r}")
+    return rays_o, rays_d
+
+
+def rays_for_angles(geo: ConeGeometry, angles):
+    """Vectorized ray bundles: [n_angles, H, W, 3] origins and dirs."""
+    return jax.vmap(lambda a: rays_for_angle(geo, a))(jnp.asarray(angles, jnp.float32))
+
+
+def get_near_far(geo: ConeGeometry, tolerance: float = 0.005) -> Tuple[float, float]:
+    """Near/far planes from max in-plane corner distance (``tigre.py:575-586``)."""
+    off = np.asarray(geo.offOrigin, dtype=np.float64)
+    s = np.asarray(geo.sVoxel, dtype=np.float64)
+    dists = [
+        np.linalg.norm([off[0] + sx * s[0] / 2, off[1] + sy * s[1] / 2])
+        for sx in (-1, 1) for sy in (-1, 1)
+    ]
+    dist_max = float(np.max(dists))
+    near = max(0.0, geo.DSO - dist_max - tolerance)
+    far = min(geo.DSO * 2, geo.DSO + dist_max + tolerance)
+    return float(near), float(far)
+
+
+def voxel_grid(geo: ConeGeometry) -> np.ndarray:
+    """World coordinates of voxel centers, [n1, n2, n3, 3] (``tigre.py:388-400``)."""
+    n1, n2, n3 = geo.nVoxel
+    s = np.asarray(geo.sVoxel) / 2 - np.asarray(geo.dVoxel) / 2
+    xs = np.linspace(-s[0], s[0], n1, dtype=np.float32)
+    ys = np.linspace(-s[1], s[1], n2, dtype=np.float32)
+    zs = np.linspace(-s[2], s[2], n3, dtype=np.float32)
+    grid = np.stack(np.meshgrid(xs, ys, zs, indexing="ij"), axis=-1)
+    return grid
+
+
+def pack_rays(rays_o, rays_d, near: float, far: float):
+    """Pack to the 8-float ray layout [o(3), d(3), near, far] used throughout."""
+    nf = jnp.broadcast_to(
+        jnp.asarray([near, far], dtype=rays_o.dtype), rays_o.shape[:-1] + (2,)
+    )
+    return jnp.concatenate([rays_o, rays_d, nf], axis=-1)

@@ -1,0 +1,196 @@
+"""Loss calculators.
+
+Capability parity with the reference loss suite
+(``/root/reference/src/loss/loss.py``): each calculator takes a ``loss``
+dict, adds its term into ``loss["loss"]`` and records the component under
+its own key.  All are pure jnp functions usable inside jit/grad.
+
+``masked_mse`` is the TPU-shaped primary loss: the reference selects rays
+with boolean indexing (``train.py:127``), which has no static-shape
+equivalent; a weighted mean over the mask is the same estimator.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def fourier_transform(x):
+    return jnp.fft.fft2(x)
+
+
+def inverse_fourier_transform(x):
+    return jnp.fft.ifft2(x)
+
+
+def masked_mse(pred, target, mask=None):
+    """Mean squared error over ``mask``-selected entries (static-shaped).
+
+    Equivalent to ``mean((target[mask] - pred[mask])**2)`` (train.py:127)
+    without dynamic shapes.  ``mask`` is float/bool broadcastable to pred.
+    """
+    se = (target - pred) ** 2
+    if mask is None:
+        return jnp.mean(se)
+    m = mask.astype(se.dtype)
+    return jnp.sum(se * m) / jnp.maximum(jnp.sum(m), 1.0)
+
+
+def calc_mse_loss(loss, x, y, tv_loss=None):
+    """Primary MSE loss (loss.py:26-46)."""
+    loss_mse = jnp.mean((x - y) ** 2)
+    loss["loss"] = loss.get("loss", 0.0) + loss_mse
+    loss["loss_mse"] = loss_mse
+    if tv_loss is not None:
+        loss["loss"] = loss["loss"] + tv_loss
+        loss["tv_loss"] = tv_loss
+    return loss
+
+
+def calc_mse_loss_mask(loss, x, y, mask=None):
+    """Masked MSE (loss.py:68-84), static-shaped."""
+    loss_mse = masked_mse(y, x, mask)
+    loss["loss"] = loss.get("loss", 0.0) + loss_mse
+    loss["loss_mse"] = loss_mse
+    return loss
+
+
+def calc_phase_only_loss(loss, x, y):
+    """Phase-normalized MSE for complex fields (loss.py:49-66)."""
+    xp = (jnp.angle(x) + jnp.pi) / (2 * jnp.pi)
+    yp = (jnp.angle(y) + jnp.pi) / (2 * jnp.pi)
+    l = jnp.mean((xp - yp) ** 2)
+    loss["loss"] = loss.get("loss", 0.0) + l
+    loss["phase_loss"] = l
+    return loss
+
+
+def calc_hinge_loss(loss, x, y):
+    """Hinge loss (loss.py:87-95)."""
+    l = jnp.mean(jnp.clip(1 - x * y, min=0))
+    loss["loss"] = loss.get("loss", 0.0) + l
+    loss["loss_hinge"] = l
+    return loss
+
+
+def calc_mse_loss_with_gradient(loss, x, y, mask=None, lambda_grad=0.1):
+    """MSE + finite-difference gradient regularizer (loss.py:97-137)."""
+    if mask is not None:
+        x = x * mask
+        y = y * mask
+    loss_mse = jnp.mean((x - y) ** 2)
+    gx_x, gx_y = x[:, 1:] - x[:, :-1], x[1:, :] - x[:-1, :]
+    gy_x, gy_y = y[:, 1:] - y[:, :-1], y[1:, :] - y[:-1, :]
+    loss_grad = jnp.mean((gx_x - gy_x) ** 2) + jnp.mean((gx_y - gy_y) ** 2)
+    loss["loss_mse"] = loss_mse
+    loss["loss_grad"] = loss_grad
+    loss["loss"] = loss.get("loss", 0.0) + loss_mse + lambda_grad * loss_grad
+    return loss
+
+
+def calc_huber_loss(loss, x, y, delta=1.0):
+    """Huber loss (loss.py:140-163)."""
+    diff = x - y
+    ad = jnp.abs(diff)
+    l = jnp.mean(jnp.where(ad <= delta, 0.5 * diff**2, delta * (ad - 0.5 * delta)))
+    loss["loss"] = loss.get("loss", 0.0) + l
+    loss["loss_huber"] = l
+    return loss
+
+
+def calc_zero_loss(loss, pred, real_data, threshold=1e-5, weight=1.0):
+    """Penalize non-zero predictions where data ~ 0 (loss.py:166-180)."""
+    zero_region = (jnp.abs(real_data) <= threshold).astype(pred.dtype)
+    l = weight * jnp.mean(zero_region * pred**2)
+    loss["loss"] = loss.get("loss", 0.0) + l
+    loss["loss_zero"] = l
+    return loss
+
+
+def calc_small_loss(loss, pred, weight=1.0):
+    """Global L2 shrinkage toward zero predictions (loss.py:183-194)."""
+    l = weight * jnp.mean(pred**2)
+    loss["loss"] = loss.get("loss", 0.0) + l
+    loss["loss_small"] = l
+    return loss
+
+
+def calc_tv_loss_3d(loss, x, k):
+    """3D total variation, L1 (loss.py:196-214)."""
+    if x.ndim != 3:
+        raise ValueError(f"Expected 3D field, got ndim={x.ndim}")
+    n1, n2, n3 = x.shape
+    tv = (
+        jnp.abs(x[1:] - x[:-1]).sum()
+        + jnp.abs(x[:, 1:] - x[:, :-1]).sum()
+        + jnp.abs(x[:, :, 1:] - x[:, :, :-1]).sum()
+    ) / (n1 * n2 * n3)
+    loss["loss"] = loss.get("loss", 0.0) + tv * k
+    loss["loss_tv"] = tv * k
+    return loss
+
+
+def calc_tv_loss(loss, image, weight):
+    """2D total variation, L2 (loss.py:218-233)."""
+    tv_h = jnp.mean((image[..., :-1, :] - image[..., 1:, :]) ** 2)
+    tv_w = jnp.mean((image[..., :, :-1] - image[..., :, 1:]) ** 2)
+    l = weight * (tv_h + tv_w)
+    loss["loss"] = loss.get("loss", 0.0) + l
+    loss["loss_tv"] = l
+    return loss
+
+
+def total_variation_loss(densities):
+    """Mean |Delta sigma| along rays (loss.py:237-248)."""
+    return jnp.mean(jnp.abs(densities[:, 1:] - densities[:, :-1]))
+
+
+def compute_tv_regularization(loss, values, weight):
+    """Sum-L1 TV along ray samples, accumulated into the dict (loss.py:10-24)."""
+    diffs = values[:, 1:, :] - values[:, :-1, :]
+    tv = jnp.sum(jnp.abs(diffs))
+    loss["loss"] = loss.get("loss", 0.0) + tv * weight
+    return loss
+
+
+def calc_fourier_loss(loss, x, y, lambda_sparsity=0.01, lambda_smoothness=0.01):
+    """Fourier-magnitude reconstruction + sparsity + smoothness
+    (loss.py:251-296; note the reference adds loss_fourier twice — we add
+    it once, which is the evident intent)."""
+    if x.ndim < 2 or y.ndim < 2:
+        raise ValueError("Inputs must have at least 2 dimensions.")
+    xa = jnp.abs(jnp.fft.fft2(x))
+    ya = jnp.abs(jnp.fft.fft2(y))
+    loss_sparsity = lambda_sparsity * jnp.sum(xa)
+    if xa.shape[-2] > 1 and xa.shape[-1] > 1:
+        dx = xa[..., 1:, :] - xa[..., :-1, :]
+        dy = xa[..., :, 1:] - xa[..., :, :-1]
+        loss_smoothness = lambda_smoothness * (jnp.abs(dx).mean() + jnp.abs(dy).mean())
+    else:
+        loss_smoothness = jnp.asarray(0.0)
+    loss_recon = jnp.mean((xa - ya) ** 2)
+    total = loss_recon + loss_sparsity + loss_smoothness
+    loss["loss"] = loss.get("loss", 0.0) + total
+    loss["loss_fourier_reconstruction"] = loss_recon
+    loss["loss_sparsity"] = loss_sparsity
+    loss["loss_smoothness"] = loss_smoothness
+    return loss
+
+
+def calc_fourier_sparsity_loss(loss, y, weight):
+    """L1 sparsity of centered Fourier coefficients (loss.py:299-320)."""
+    if y.ndim < 2:
+        raise ValueError("Input must have at least 2 dimensions.")
+    fft_y = jnp.fft.fftshift(jnp.fft.fft2(y, axes=(-2, -1)))
+    l = jnp.mean(jnp.abs(fft_y)) * weight
+    loss["loss"] = loss.get("loss", 0.0) + l
+    loss["loss_fourier_sparsity"] = l
+    return loss
+
+
+def calc_l1_loss(loss, x, y):
+    """L1 loss (loss.py:325-339)."""
+    l = jnp.mean(jnp.abs(x - y))
+    loss["loss"] = loss.get("loss", 0.0) + l
+    loss["loss_l1"] = l
+    return loss

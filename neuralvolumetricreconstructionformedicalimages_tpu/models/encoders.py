@@ -1,0 +1,155 @@
+"""Point encoders: multiresolution hash grid, NeRF frequency bands, identity.
+
+Capability parity with the reference encoder factory
+(``/root/reference/src/encoder/__init__.py:5-25``) — ``encoding`` one of
+``hashgrid`` / ``frequency`` / ``None`` — but as immutable *specs* with
+``init(key) -> params`` and ``apply(params, x, bound) -> features`` pure
+functions.
+
+The hash path dispatches to the Pallas TPU kernel when requested, with the
+jnp gather implementation as the permanent correctness oracle/fallback.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.hash_encoding import HashGridSpec, hash_encode
+
+
+class EncoderSpec:
+    """Interface: output_dim, init(key) -> params, apply(params, x, bound)."""
+
+    output_dim: int
+
+    def init(self, key):  # pragma: no cover - interface
+        raise NotImplementedError
+
+    def apply(self, params, x, bound: float):  # pragma: no cover - interface
+        raise NotImplementedError
+
+
+@dataclasses.dataclass(frozen=True)
+class HashEncoderSpec(EncoderSpec):
+    """Hash-grid encoder wrapper.
+
+    Input range semantics match ``hashgrid.py:118-125``: real-world
+    positions in [-bound, bound] are affinely mapped to [0, 1] before
+    encoding.  Out-of-range inputs are *clamped* (the renderer already
+    clamps to ``bound - 1e-6``, matching render.py:104-105; the reference
+    raised ValueError, which has no jit equivalent).
+    """
+
+    grid: HashGridSpec = HashGridSpec()
+    use_pallas: bool = False
+
+    @property
+    def output_dim(self) -> int:
+        return self.grid.output_dim
+
+    def init(self, key, dtype=jnp.float32):
+        return {"table": self.grid.init(key, dtype=dtype)}
+
+    def apply(self, params, x, bound: float):
+        x01 = jnp.clip((x + bound) / (2.0 * bound), 0.0, 1.0)
+        prefix = x01.shape[:-1]
+        x01 = x01.reshape(-1, self.grid.input_dim)
+        if self.use_pallas:
+            from ..ops.hash_encoding_pallas import hash_encode_pallas
+
+            out = hash_encode_pallas(x01, params["table"], self.grid)
+        else:
+            out = hash_encode(x01, params["table"], self.grid)
+        return out.reshape(*prefix, self.output_dim)
+
+
+@dataclasses.dataclass(frozen=True)
+class FreqEncoderSpec(EncoderSpec):
+    """NeRF-style sin/cos positional encoding (freqencoder.py:5-43)."""
+
+    input_dim: int = 3
+    max_freq_log2: float = 5.0
+    n_freqs: int = 6
+    log_sampling: bool = True
+    include_input: bool = True
+
+    @property
+    def freq_bands(self) -> np.ndarray:
+        if self.log_sampling:
+            return np.exp2(
+                np.linspace(0.0, self.max_freq_log2, self.n_freqs)
+            ).astype(np.float32)
+        return np.linspace(1.0, 2.0**self.max_freq_log2, self.n_freqs).astype(np.float32)
+
+    @property
+    def output_dim(self) -> int:
+        d = self.input_dim * self.n_freqs * 2
+        if self.include_input:
+            d += self.input_dim
+        return d
+
+    def init(self, key):
+        return {}
+
+    def apply(self, params, x, bound: float):
+        del params, bound  # stateless; reference ignores bound too
+        outs = [x] if self.include_input else []
+        for freq in self.freq_bands:
+            outs.append(jnp.sin(x * freq))
+            outs.append(jnp.cos(x * freq))
+        return jnp.concatenate(outs, axis=-1)
+
+
+@dataclasses.dataclass(frozen=True)
+class IdentityEncoderSpec(EncoderSpec):
+    """Pass-through encoder (``encoding: "None"``)."""
+
+    input_dim: int = 3
+
+    @property
+    def output_dim(self) -> int:
+        return self.input_dim
+
+    def init(self, key):
+        return {}
+
+    def apply(self, params, x, bound: float):
+        del params, bound
+        return x
+
+
+def get_encoder(
+    encoding: str,
+    input_dim: int = 3,
+    multires: int = 6,
+    num_levels: int = 16,
+    level_dim: int = 2,
+    base_resolution: int = 16,
+    log2_hashmap_size: int = 19,
+    use_pallas: bool = False,
+    **kwargs,
+) -> EncoderSpec:
+    """Encoder factory mirroring ``src/encoder/__init__.py:5-25``."""
+    if encoding == "None":
+        return IdentityEncoderSpec(input_dim=input_dim)
+    if encoding == "frequency":
+        return FreqEncoderSpec(
+            input_dim=input_dim, max_freq_log2=multires - 1, n_freqs=multires
+        )
+    if encoding == "hashgrid":
+        return HashEncoderSpec(
+            grid=HashGridSpec(
+                input_dim=input_dim,
+                num_levels=num_levels,
+                level_dim=level_dim,
+                base_resolution=base_resolution,
+                log2_hashmap_size=log2_hashmap_size,
+            ),
+            use_pallas=use_pallas,
+        )
+    raise NotImplementedError(f"Unknown encoding {encoding!r}")

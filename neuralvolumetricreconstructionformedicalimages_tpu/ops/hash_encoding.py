@@ -1,0 +1,161 @@
+"""Multiresolution hash-grid encoding (Instant-NGP style), TPU-native.
+
+Semantics match the reference CUDA kernel
+(``/root/reference/src/encoder/hashencoder/src/hashencoder.cu``):
+
+- per-level scale ``2^level * H - 1``, resolution ``ceil(scale) + 1``
+  (``hashencoder.cu:99-100``)
+- position ``pos = x * scale + 0.5``; trilinear interpolation over the
+  ``2^D`` cell corners (``hashencoder.cu:106-143``)
+- corner index: dense row-major layout while ``(res+1)^D`` fits the
+  level's table, else the XOR-prime hash ``{1, 19349663, 83492791}``
+  (``hashencoder.cu:36-74``), then ``% hashmap_size``
+- per-level table size ``min(2^log2_hashmap_size, (res+1)^D)``
+  (``hashgrid.py:95-101``)
+
+TPU-first design decisions (deliberate upgrades, not translations):
+
+- The table is stored **uniformly padded** as ``[L, 2^S, C]`` instead of the
+  reference's ragged flat layout.  Uniform layout makes the index math a
+  single vectorized expression and lets the Pallas kernel stream one
+  level's table into VMEM per grid step.
+- Positions stay **float32** end-to-end.  The reference casts inputs to
+  fp16 (``hashgrid.py:12``), which quantizes coordinates to ~2^-11 — at the
+  finest level (scale 524287) that is >100 grid cells of quantization.
+- The backward scatter-add is a **deterministic** XLA ``scatter-add``
+  (autodiff of the gather), replacing the reference's nondeterministic
+  CUDA ``atomicAdd`` (``hashencoder.cu:253-270``).  Bitwise-reproducible
+  training is a feature.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# XOR-prime multipliers for up to 3 input dims (hashencoder.cu:43).
+_HASH_PRIMES = (1, 19349663, 83492791)
+
+
+@dataclasses.dataclass(frozen=True)
+class HashGridSpec:
+    """Static hash-grid configuration (hashable -> jit static argument)."""
+
+    input_dim: int = 3
+    num_levels: int = 16
+    level_dim: int = 2
+    base_resolution: int = 16
+    log2_hashmap_size: int = 19
+
+    @property
+    def output_dim(self) -> int:
+        return self.num_levels * self.level_dim
+
+    @property
+    def table_size(self) -> int:
+        """Padded per-level table length (power of two)."""
+        return 1 << self.log2_hashmap_size
+
+    @functools.cached_property
+    def scales(self) -> np.ndarray:
+        """Per-level scale ``2^l * H - 1`` (float32, [L])."""
+        levels = np.arange(self.num_levels, dtype=np.float64)
+        return (np.exp2(levels) * self.base_resolution - 1.0).astype(np.float32)
+
+    @functools.cached_property
+    def resolutions(self) -> np.ndarray:
+        """Per-level grid resolution ``ceil(scale) + 1`` (int64, [L])."""
+        return (np.ceil(self.scales.astype(np.float64)) + 1).astype(np.int64)
+
+    @functools.cached_property
+    def level_sizes(self) -> np.ndarray:
+        """Actual entries per level: ``min(2^S, (res+1)^D)`` (int64, [L])."""
+        dense = (self.resolutions + 1) ** self.input_dim
+        return np.minimum(dense, self.table_size).astype(np.int64)
+
+    @functools.cached_property
+    def dense_levels(self) -> np.ndarray:
+        """Bool [L]: level uses the dense row-major layout (no hashing)."""
+        return ((self.resolutions + 1) ** self.input_dim) <= self.table_size
+
+    @property
+    def n_params(self) -> int:
+        """Live (non-padding) parameter count, matching hashgrid.py:104."""
+        return int(self.level_sizes.sum()) * self.level_dim
+
+    def init(self, key: jax.Array, dtype=jnp.float32) -> jax.Array:
+        """Table init U(-1e-4, 1e-4), matching hashgrid.py:111-113."""
+        shape = (self.num_levels, self.table_size, self.level_dim)
+        return jax.random.uniform(key, shape, dtype=dtype, minval=-1e-4, maxval=1e-4)
+
+
+def hash_grid_indices(spec: HashGridSpec, x01: jax.Array):
+    """Corner indices + interpolation weights for points ``x01`` in [0, 1].
+
+    Returns:
+      idx: uint32 [B, L, 2^D] per-level table indices (pre-offset)
+      w:   float32 [B, L, 2^D] trilinear weights
+    """
+    D = spec.input_dim
+    L = spec.num_levels
+    B = x01.shape[0]
+    n_corners = 1 << D
+
+    scales = jnp.asarray(spec.scales)                       # [L]
+    pos = x01[:, None, :].astype(jnp.float32) * scales[None, :, None] + 0.5
+    pos_grid = jnp.floor(pos)
+    frac = pos - pos_grid                                   # [B, L, D]
+    pos_grid = pos_grid.astype(jnp.uint32)
+
+    # Corner bit patterns [2^D, D].
+    bits = ((np.arange(n_corners)[:, None] >> np.arange(D)[None, :]) & 1)
+    bits_f = jnp.asarray(bits, jnp.float32)                 # [2^D, D]
+    bits_u = jnp.asarray(bits, jnp.uint32)
+
+    corner = pos_grid[:, :, None, :] + bits_u[None, None]   # [B, L, 2^D, D]
+
+    # Interp weight: prod_d (bit ? frac : 1-frac).
+    w = jnp.prod(
+        jnp.where(bits_f[None, None] > 0, frac[:, :, None, :], 1.0 - frac[:, :, None, :]),
+        axis=-1,
+    )                                                       # [B, L, 2^D]
+
+    # Dense row-major index with stride (res+1)^d per dim (hashencoder.cu:55-65).
+    res_p1 = jnp.asarray(spec.resolutions + 1, jnp.uint32)  # [L]
+    strides = jnp.stack([res_p1**d for d in range(D)], -1)  # [L, D] uint32
+    idx_dense = jnp.sum(corner * strides[None, :, None, :], axis=-1)  # [B, L, 2^D]
+
+    # XOR-prime hash with uint32 wraparound (hashencoder.cu:36-52).
+    primes = jnp.asarray(_HASH_PRIMES[:D], jnp.uint32)
+    idx_hash = corner[..., 0] * primes[0]
+    for d in range(1, D):
+        idx_hash = idx_hash ^ (corner[..., d] * primes[d])
+
+    dense = jnp.asarray(spec.dense_levels)                  # [L] bool
+    sizes = jnp.asarray(spec.level_sizes.astype(np.uint32)) # [L]
+    idx = jnp.where(dense[None, :, None], idx_dense, idx_hash) % sizes[None, :, None]
+    return idx, w
+
+
+def hash_encode(x01: jax.Array, table: jax.Array, spec: HashGridSpec) -> jax.Array:
+    """Encode points ``x01`` in [0, 1]^D -> features [B, L*C].
+
+    Pure-jnp reference path: one flat gather over the padded table; XLA
+    autodiff provides the deterministic scatter-add backward.
+    """
+    B = x01.shape[0]
+    L, S, C = table.shape
+    idx, w = hash_grid_indices(spec, x01)                   # [B, L, 2^D]
+
+    level_offsets = jnp.arange(L, dtype=jnp.uint32)[None, :, None] * jnp.uint32(S)
+    flat_idx = (idx + level_offsets).astype(jnp.int32)      # [B, L, 2^D]
+    flat_table = table.reshape(L * S, C)
+    vals = jnp.take(flat_table, flat_idx, axis=0)           # [B, L, 2^D, C]
+
+    out = jnp.sum(w[..., None].astype(vals.dtype) * vals, axis=2)  # [B, L, C]
+    return out.reshape(B, L * C)

@@ -1,0 +1,135 @@
+"""Differentiable line-integral renderer.
+
+Functional parity with the reference renderer
+(``/root/reference/src/render/render.py:31-146``): stratified depth
+sampling, point generation clamped to ``bound - 1e-6``, network query,
+Beer-Lambert integration, optional hierarchical fine pass via inverse-CDF
+sampling, and the TV-on-points term (render.py:129-131).
+
+TPU-first: there is no Python chunking loop in the hot path — the whole
+ray batch renders inside one jitted function (XLA tiles it).  For
+memory-bounded full-image eval, ``render_image`` maps fixed-size ray tiles
+with ``lax.map`` (static shapes, one compilation).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .models.density_field import DensityFieldSpec
+from .ops.integration import raw2outputs
+from .ops.sampling import sample_pdf, stratified_z_vals
+
+
+def tv_on_points(pts: jax.Array) -> jax.Array:
+    """L1 total variation of consecutive sample points (render.py:16-28)."""
+    diff = pts[:, 1:, :] - pts[:, :-1, :]
+    return jnp.sum(jnp.abs(diff))
+
+
+def render_rays(
+    rays: jax.Array,
+    params,
+    spec: DensityFieldSpec,
+    *,
+    n_samples: int,
+    n_fine: int = 0,
+    perturb: bool = True,
+    raw_noise_std: float = 0.0,
+    key: Optional[jax.Array] = None,
+    params_fine=None,
+    spec_fine: Optional[DensityFieldSpec] = None,
+) -> Dict[str, jax.Array]:
+    """Render a batch of rays [n_rays, 8] -> dict with 'acc' [n_rays] etc.
+
+    Fully traceable: one fused forward for all rays x samples.
+    """
+    rays_o, rays_d = rays[..., :3], rays[..., 3:6]
+    near, far = rays[..., 6:7], rays[..., 7:8]
+
+    k_strat = k_noise = k_pdf = k_noise2 = None
+    if key is not None:
+        k_strat, k_noise, k_pdf, k_noise2 = jax.random.split(key, 4)
+
+    z_vals = stratified_z_vals(near, far, n_samples, perturb and key is not None, k_strat)
+
+    bound = spec.bound - 1e-6
+    pts = rays_o[..., None, :] + rays_d[..., None, :] * z_vals[..., :, None]
+    pts = jnp.clip(pts, -bound, bound)
+
+    raw = spec.apply(params, pts)
+    acc, weights = raw2outputs(raw, z_vals, rays_d, raw_noise_std, k_noise)
+
+    ret: Dict[str, jax.Array] = {}
+    if n_fine > 0 and params_fine is not None:
+        ret.update(acc0=acc, weights0=weights, pts0=pts)
+        z_mid = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
+        z_samples = sample_pdf(
+            z_mid, weights[..., 1:-1], n_fine, det=not perturb, key=k_pdf
+        )
+        z_samples = jax.lax.stop_gradient(z_samples)
+        z_vals = jnp.sort(jnp.concatenate([z_vals, z_samples], -1), axis=-1)
+        pts = rays_o[..., None, :] + rays_d[..., None, :] * z_vals[..., :, None]
+        pts = jnp.clip(pts, -bound, bound)
+        fine_spec = spec_fine if spec_fine is not None else spec
+        raw = fine_spec.apply(params_fine, pts)
+        acc, _ = raw2outputs(raw, z_vals, rays_d, raw_noise_std, k_noise2)
+
+    ret.update(acc=acc, pts=pts, tv_loss=0.1 * tv_on_points(pts))
+    return ret
+
+
+def render_image(
+    rays: jax.Array,
+    params,
+    spec: DensityFieldSpec,
+    *,
+    n_samples: int,
+    tile: int = 4096,
+    n_fine: int = 0,
+    params_fine=None,
+    spec_fine: Optional[DensityFieldSpec] = None,
+) -> jax.Array:
+    """Render a full view deterministically (eval path).
+
+    rays: [N, 8] with N padded to a multiple of ``tile`` internally.
+    Memory-bounded via ``lax.map`` over fixed-size tiles (one compile).
+    """
+    n = rays.shape[0]
+    n_pad = (-n) % tile
+    rays_p = jnp.pad(rays, ((0, n_pad), (0, 0)))
+    tiles = rays_p.reshape(-1, tile, rays_p.shape[-1])
+
+    def tile_fn(r):
+        return render_rays(
+            r, params, spec,
+            n_samples=n_samples, n_fine=n_fine, perturb=False,
+            raw_noise_std=0.0, key=None,
+            params_fine=params_fine, spec_fine=spec_fine,
+        )["acc"]
+
+    acc = jax.lax.map(tile_fn, tiles).reshape(-1)
+    return acc[:n]
+
+
+def query_field(
+    points: jax.Array,
+    params,
+    spec: DensityFieldSpec,
+    *,
+    tile: int = 262144,
+) -> jax.Array:
+    """Dense field query (eval voxel grid), tiled like the reference's
+    ``run_network`` netchunk loop (render.py:148-156) but with lax.map."""
+    prefix = points.shape[:-1]
+    flat = points.reshape(-1, points.shape[-1])
+    n = flat.shape[0]
+    n_pad = (-n) % tile
+    flat_p = jnp.pad(flat, ((0, n_pad), (0, 0)))
+    chunks = flat_p.reshape(-1, tile, flat.shape[-1])
+    out = jax.lax.map(lambda c: spec.apply(params, c), chunks)
+    out = out.reshape(-1, out.shape[-1])[:n]
+    return out.reshape(*prefix, out.shape[-1])
