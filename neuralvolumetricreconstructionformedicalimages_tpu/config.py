@@ -27,7 +27,7 @@ _TPU_DEFAULTS: Dict[str, Dict[str, Any]] = {
         "table_dtype": "float32",
     },
     "render": {
-        "use_pallas": True,    # Pallas hash-encode kernel on TPU (jnp fallback otherwise)
+        "use_pallas": False,   # Pallas hash-encode kernel on TPU (jnp fallback otherwise)
     },
     "train": {
         "seed": 42,

@@ -1,0 +1,97 @@
+"""JAX forward projector: differentiable X-ray transform of a voxel volume.
+
+TPU-native replacement for the external TIGRE CUDA projector used by the
+reference's offline data generator (``/root/reference/dataGenerator/generateData.py:178``
+calls ``tigre.Ax``).  Instead of a C++/CUDA ray-driven projector we express
+the X-ray transform as (ray generation -> trilinear volume sampling ->
+Beer-Lambert sum), all jit-compiled — the same math the renderer uses for
+the neural field, applied to a dense voxel grid.  This keeps the synthetic
+data generator and the reconstruction bit-consistent with each other: a
+volume reconstructed by the model reprojects onto the data it was trained
+on with no convention mismatch.
+
+The voxel layout matches ``voxel_grid``/``get_voxels``
+(``/root/reference/src/dataset/tigre.py:388-400``): ``volume[i, j, k]`` is
+the attenuation at world position ``grid[i, j, k]``, axes (x, y, z), voxel
+centers spanning ``+-(sVoxel/2 - dVoxel/2)``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import geometry as G
+
+
+def trilinear_sample(volume: jax.Array, pts: jax.Array, geo: G.ConeGeometry) -> jax.Array:
+    """Trilinearly sample ``volume`` [n1, n2, n3] at world points ``pts`` [..., 3].
+
+    Points outside the volume sample zero (attenuation-free surroundings),
+    implemented by clamping the 8 corner indices and zeroing the weight of
+    out-of-range points.
+    """
+    n = jnp.asarray(geo.nVoxel, jnp.float32)
+    d = jnp.asarray(geo.dVoxel, jnp.float32)
+    half = (n * d) / 2.0 - d / 2.0  # first/last voxel center coordinate
+
+    # continuous voxel-index coordinates: center i at world -half + i*d
+    f = (pts + half) / d  # [..., 3]
+    f0 = jnp.floor(f)
+    frac = f - f0
+    i0 = f0.astype(jnp.int32)
+
+    # small tolerance so boundary voxel centers are not zeroed by fp rounding
+    eps = 1e-4
+    inside = jnp.all((f >= -eps) & (f <= n - 1.0 + eps), axis=-1)
+
+    n_i = jnp.asarray(geo.nVoxel, jnp.int32)
+    c0 = jnp.clip(i0, 0, n_i - 1)
+    c1 = jnp.clip(i0 + 1, 0, n_i - 1)
+
+    def gather(ix, iy, iz):
+        return volume[ix, iy, iz]
+
+    wx, wy, wz = frac[..., 0], frac[..., 1], frac[..., 2]
+    v = (
+        gather(c0[..., 0], c0[..., 1], c0[..., 2]) * (1 - wx) * (1 - wy) * (1 - wz)
+        + gather(c1[..., 0], c0[..., 1], c0[..., 2]) * wx * (1 - wy) * (1 - wz)
+        + gather(c0[..., 0], c1[..., 1], c0[..., 2]) * (1 - wx) * wy * (1 - wz)
+        + gather(c0[..., 0], c0[..., 1], c1[..., 2]) * (1 - wx) * (1 - wy) * wz
+        + gather(c1[..., 0], c1[..., 1], c0[..., 2]) * wx * wy * (1 - wz)
+        + gather(c1[..., 0], c0[..., 1], c1[..., 2]) * wx * (1 - wy) * wz
+        + gather(c0[..., 0], c1[..., 1], c1[..., 2]) * (1 - wx) * wy * wz
+        + gather(c1[..., 0], c1[..., 1], c1[..., 2]) * wx * wy * wz
+    )
+    return jnp.where(inside, v, 0.0)
+
+
+@functools.partial(jax.jit, static_argnames=("geo", "n_samples"))
+def project_angles(volume: jax.Array, geo: G.ConeGeometry, angles: jax.Array,
+                   n_samples: int = 0) -> jax.Array:
+    """X-ray transform: projections [n_angles, H, W] of ``volume``.
+
+    ``n_samples`` = samples per ray (0 -> one sample per voxel diagonal
+    step, i.e. ~2x the max voxel count — conservative Nyquist for the
+    line integral; the ``accuracy`` field of the reference geometry plays
+    the same role in TIGRE).
+    """
+    near, far = G.get_near_far(geo)
+    if n_samples == 0:
+        n_samples = 2 * int(np.max(geo.nVoxel))
+
+    t = jnp.linspace(0.0, 1.0, n_samples, dtype=jnp.float32)
+    z_vals = near * (1.0 - t) + far * t                     # [S]
+    dt = (far - near) / (n_samples - 1)
+
+    def one_angle(angle):
+        ro, rd = G.rays_for_angle(geo, angle)               # [H, W, 3]
+        pts = ro[..., None, :] + rd[..., None, :] * z_vals[:, None]  # [H, W, S, 3]
+        sig = trilinear_sample(volume, pts, geo)            # [H, W, S]
+        norm = jnp.linalg.norm(rd, axis=-1)                 # [H, W]
+        return jnp.sum(sig, axis=-1) * dt * norm
+
+    return jax.lax.map(one_angle, jnp.asarray(angles, jnp.float32))

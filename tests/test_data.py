@@ -1,0 +1,141 @@
+"""Data-layer tests: projector vs analytic oracles, generator schema,
+device-resident dataset sampling, noise model, real-data formatter."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from neuralvolumetricreconstructionformedicalimages_tpu import geometry as G
+from neuralvolumetricreconstructionformedicalimages_tpu.data import (
+    format_real_data,
+    generate,
+    make_dataset,
+)
+from neuralvolumetricreconstructionformedicalimages_tpu.data.generate import add_ct_noise
+from neuralvolumetricreconstructionformedicalimages_tpu.data.phantoms import get_phantom
+from neuralvolumetricreconstructionformedicalimages_tpu.data.projector import (
+    project_angles,
+    trilinear_sample,
+)
+
+
+GEO = G.ConeGeometry(
+    DSD=1.5, DSO=1.0, nDetector=(24, 24), dDetector=(0.004, 0.004),
+    nVoxel=(40, 40, 40), dVoxel=(0.002, 0.002, 0.002),
+    mode="parallel", tilt_angle=0.0,
+)
+
+
+def test_trilinear_sample_exact_at_centers_and_outside():
+    vol = jnp.asarray(np.random.default_rng(0).random(GEO.nVoxel), jnp.float32)
+    grid = jnp.asarray(G.voxel_grid(GEO))
+    # sampling exactly at voxel centers reproduces the volume
+    got = trilinear_sample(vol, grid, GEO)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(vol), atol=1e-5)
+    # far outside -> 0
+    far_pts = jnp.asarray([[1.0, 0.0, 0.0], [0.0, -0.9, 0.3]], jnp.float32)
+    np.testing.assert_allclose(np.asarray(trilinear_sample(vol, far_pts, GEO)), 0.0)
+
+
+def test_projector_ball_chord():
+    """Parallel projection of a uniform ball = chord length 2*sqrt(r^2-b^2)."""
+    vol = jnp.asarray(get_phantom("ball", GEO.nVoxel))  # radius 0.6 in [-1,1] cube
+    r_world = 0.6 * (GEO.nVoxel[0] * GEO.dVoxel[0] / 2)  # 0.6 * 0.04 = 0.024 m
+    projs = np.asarray(project_angles(vol, GEO, jnp.asarray([0.0, 1.1]), n_samples=256))
+    ro, rd = G.rays_for_angle(GEO, 0.0)
+    b = np.linalg.norm(np.cross(np.asarray(ro), np.asarray(rd)), axis=-1)
+    want = 2 * np.sqrt(np.maximum(r_world**2 - b**2, 0.0))
+    # interior rays (not grazing) should match within voxelization error
+    interior = b < 0.7 * r_world
+    err = np.abs(projs[0] - want)[interior]
+    assert err.max() < 0.15 * 2 * r_world
+    # rotation invariance for a centered ball (limited by voxelization)
+    np.testing.assert_allclose(projs[0], projs[1], atol=0.08 * 2 * r_world)
+
+
+def test_generate_schema_matches_reference_format():
+    scan = dict(nVoxel=[16, 16, 16], dVoxel=[2.0, 2.0, 2.0],
+                nDetector=[12, 12], dDetector=[3.0, 3.0],
+                numTrain=4, numVal=2, mode="parallel")
+    data = generate(scan, phantom="cubes", seed=1)
+    # keys the reference dataset reads (tigre.py:230-320)
+    for k in ["DSD", "DSO", "nDetector", "dDetector", "nVoxel", "dVoxel",
+              "offOrigin", "offDetector", "accuracy", "mode", "image",
+              "numTrain", "numVal", "train", "val"]:
+        assert k in data, k
+    assert data["train"]["projections"].shape == (4, 12, 12)
+    assert data["val"]["projections"].shape == (2, 12, 12)
+    assert data["train"]["angles"].shape == (4,)
+    assert data["image"].shape == (16, 16, 16)
+    # evenly spaced train angles over totalAngle (generateData.py:174)
+    want = np.linspace(0, np.pi, 5)[:-1]
+    np.testing.assert_allclose(data["train"]["angles"], want, atol=1e-12)
+
+
+def test_dataset_sampling_valid_pixels_only():
+    scan = dict(nVoxel=[16, 16, 16], dVoxel=[2.0, 2.0, 2.0],
+                nDetector=[12, 12], dDetector=[3.0, 3.0],
+                numTrain=4, numVal=2, mode="parallel")
+    data = generate(scan, phantom="ball", seed=1)
+    ds = make_dataset(data, "train", n_rays=64)
+    projs = np.asarray(ds.projs)
+    for s in range(4):
+        batch = ds.sample_batch(jax.random.key(s))
+        v = int(batch["view"])
+        flat = projs[v].reshape(-1)
+        # every sampled pixel is valid (|proj| > 0, tigre.py:356)
+        assert (np.abs(flat[np.asarray(batch["pix"])]) > 0).all()
+        # returned projs/rays correspond to the sampled pixels
+        np.testing.assert_allclose(
+            np.asarray(batch["projs"]), flat[np.asarray(batch["pix"])])
+    # rays layout: near/far in last two slots
+    np.testing.assert_allclose(np.asarray(batch["rays"])[:, 6], ds.near, rtol=1e-6)
+
+
+def test_dataset_mask_from_full_proj():
+    scan = dict(nVoxel=[16, 16, 16], dVoxel=[2.0, 2.0, 2.0],
+                nDetector=[12, 12], dDetector=[3.0, 3.0],
+                numTrain=2, numVal=1, mode="parallel")
+    data = generate(scan, phantom="ball", seed=1)
+    # full_proj with a dark stripe below threshold
+    fp = np.full((12, 12), 1.0, np.complex64)
+    fp[:, :4] = 1e-4
+    data["full_proj"] = np.stack([fp, fp])
+    ds = make_dataset(data, "train", n_rays=16)
+    mask = np.asarray(ds.mask)
+    assert mask.shape == (2, 12, 12)
+    assert mask[:, :, :3].mean() < 0.5 and mask[:, :, 6:].mean() == 1.0
+
+
+def test_ct_noise_model():
+    projs = np.full((2, 8, 8), 0.5, np.float32)
+    noisy = add_ct_noise(projs, poisson=1e5, gaussian=(0.0, 10.0), seed=0)
+    assert noisy.shape == projs.shape
+    assert (noisy >= 0).all()
+    # unbiased-ish around the clean value
+    assert abs(noisy.mean() - 0.5) < 0.05
+    # higher dose -> lower variance
+    lo = add_ct_noise(projs, poisson=1e7, gaussian=(0.0, 0.0), seed=0)
+    hi = add_ct_noise(projs, poisson=1e4, gaussian=(0.0, 0.0), seed=0)
+    assert lo.std() < hi.std()
+
+
+def test_format_real_data_schema():
+    rng = np.random.default_rng(0)
+    projections = (rng.random((5, 8, 10)) + 1j * rng.random((5, 8, 10))).astype(np.complex64)
+    angles = np.linspace(0.72, 179.28, 5)
+    data = format_real_data(projections, angles, tilt_angle=29.0, n_slices=7)
+    # rot90 swaps H and W (format_data.py:7)
+    assert data["train"]["projections"].shape == (5, 10, 8)
+    assert data["nDetector"] == [8, 10]  # [W, H] after rot90
+    assert data["mode"] == "parallel" and data["tilt_angle"] == 29.0
+    np.testing.assert_allclose(data["train"]["angles"], np.deg2rad(angles))
+    assert data["full_proj"].dtype == np.complex64
+    # phase in [-pi, pi]
+    assert np.abs(data["train"]["projections"]).max() <= np.pi + 1e-6
+    # loadable by the dataset layer
+    ds = make_dataset(data, "train", n_rays=8)
+    assert ds.geo.mode == "parallel"
+    b = ds.sample_batch(jax.random.key(0))
+    assert b["rays"].shape == (8, 8)
