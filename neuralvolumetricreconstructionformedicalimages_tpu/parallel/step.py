@@ -1,0 +1,233 @@
+"""Sharded training steps: ``jax.shard_map`` over a named ``(data, sample)`` mesh.
+
+TPU-native scale-out with no reference counterpart (SURVEY.md §2: the
+reference is single-GPU).  Design:
+
+- **Params replicated, rays data-parallel.**  Each device along the
+  ``data`` axis draws its *own* ray minibatch (the per-step PRNG key is
+  folded with ``lax.axis_index("data")``), renders it locally, and
+  parameter gradients are ``psum``-reduced over ICI.  XLA overlaps the
+  all-reduce with the remaining backward computation.
+- **Exact global loss.**  The reference loss is a masked MSE over the full
+  batch (``train.py:127``); a mean of per-shard means would be wrong when
+  mask sums differ per shard, so the numerator ``Σ m·(p-t)²`` and
+  denominator ``Σ m`` are each ``psum``'d before the division.
+- **Optional sample-axis split** (the domain analogue of sequence
+  parallelism, SURVEY.md §5): every device in a ``sample`` group holds the
+  same rays but integrates a contiguous z-slab — the Beer–Lambert line
+  integral ``Σ σ·Δt`` is associative, so shards ``psum`` partial sums.
+  Depth values are generated from a key that is *not* folded with the
+  sample index, so all shards agree on the stratified z grid.
+
+The optimizer update runs replicated on every device (identical inputs →
+identical outputs), which is cheaper than sharding optimizer state for a
+model this size (≤17M params).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax import lax
+from jax.sharding import PartitionSpec as P
+
+from ..data.dataset import gather_view_batch
+from ..models.density_field import DensityFieldSpec
+from ..ops.sampling import stratified_z_vals
+from ..render import render_rays
+from ..train.optim import make_optimizer
+from .mesh import DATA_AXIS, SAMPLE_AXIS
+
+
+def _global_masked_mse(pred, target, mask):
+    """Masked MSE over the full (cross-shard) ray batch: psum'd numerator
+    and denominator so the value equals the unsharded estimator exactly."""
+    se = (target - pred) ** 2
+    m = (jnp.ones_like(se) if mask is None else mask).astype(se.dtype)
+    num = lax.psum(jnp.sum(se * m), DATA_AXIS)
+    den = lax.psum(jnp.sum(m), DATA_AXIS)
+    return num / jnp.maximum(den, 1.0)
+
+
+def _render_acc_sample_sharded(
+    rays: jax.Array,
+    params,
+    spec: DensityFieldSpec,
+    *,
+    n_samples: int,
+    local_samples: int,
+    perturb: bool,
+    raw_noise_std: float,
+    key,
+) -> jax.Array:
+    """Beer–Lambert accumulation with the depth-sample axis sharded over
+    ``SAMPLE_AXIS``.  Every shard computes the full (cheap, vector-only)
+    z grid identically, slices its slab, runs the (expensive) field query
+    on ``local_samples`` points per ray, and ``psum``s partial integrals.
+
+    Matches ``render_rays`` + ``raw2outputs`` semantics
+    (reference render.py:91-111,192-201) for the coarse pass.
+    """
+    rays_o, rays_d = rays[..., :3], rays[..., 3:6]
+    near, far = rays[..., 6:7], rays[..., 7:8]
+
+    k_strat = k_noise = None
+    if key is not None:
+        k_strat, k_noise = jax.random.split(key)
+
+    z = stratified_z_vals(near, far, n_samples, perturb and key is not None, k_strat)
+    dists = z[..., 1:] - z[..., :-1]
+    dists = jnp.concatenate([dists, jnp.full_like(dists[..., :1], 1e-10)], axis=-1)
+    dists = dists * jnp.linalg.norm(rays_d[..., None, :], axis=-1)
+
+    j = lax.axis_index(SAMPLE_AXIS)
+    start = j * local_samples
+    z_loc = lax.dynamic_slice_in_dim(z, start, local_samples, axis=-1)
+    d_loc = lax.dynamic_slice_in_dim(dists, start, local_samples, axis=-1)
+
+    bound = spec.bound - 1e-6
+    pts = rays_o[..., None, :] + rays_d[..., None, :] * z_loc[..., :, None]
+    pts = jnp.clip(pts, -bound, bound)
+
+    raw = spec.apply(params, pts)
+    sigma = raw[..., 0]
+    if raw_noise_std > 0.0 and key is not None:
+        # distinct noise per z-slab: fold the sample index into the key
+        k_slab = jax.random.fold_in(k_noise, j)
+        sigma = sigma + jax.random.normal(k_slab, sigma.shape, sigma.dtype) * raw_noise_std
+
+    partial = jnp.sum(sigma * d_loc, axis=-1)
+    return lax.psum(partial, SAMPLE_AXIS)
+
+
+def _make_shard_body(cfg: Dict[str, Any], spec: DensityFieldSpec, opt,
+                     n_rays: int, n_batch: int, use_mask: bool,
+                     n_data: int, n_sample: int):
+    """Per-device step body (runs inside shard_map)."""
+    render_cfg = cfg["render"]
+    n_samples = int(render_cfg["n_samples"])
+    n_fine = int(render_cfg["n_fine"])
+    perturb = bool(render_cfg["perturb"])
+    raw_noise_std = float(render_cfg["raw_noise_std"])
+    has_fine = n_fine > 0
+
+    if has_fine and n_sample > 1:
+        raise NotImplementedError(
+            "hierarchical fine pass + sample-axis sharding not supported; "
+            "shard rays instead (all reference configs use n_fine=0)"
+        )
+    if n_rays % n_data != 0:
+        raise ValueError(f"n_rays={n_rays} not divisible by data axis {n_data}")
+    if n_samples % n_sample != 0:
+        raise ValueError(
+            f"n_samples={n_samples} not divisible by sample axis {n_sample}"
+        )
+    local_rays = n_rays // n_data
+    local_samples = n_samples // n_sample
+
+    def loss_fn(params, batch, key):
+        mask = batch["mask"] if use_mask else None
+        if n_sample > 1:
+            acc = _render_acc_sample_sharded(
+                batch["rays"], params["coarse"], spec,
+                n_samples=n_samples, local_samples=local_samples,
+                perturb=perturb, raw_noise_std=raw_noise_std, key=key,
+            )
+            return _global_masked_mse(acc, batch["projs"], mask)
+        out = render_rays(
+            batch["rays"], params["coarse"], spec,
+            n_samples=n_samples, n_fine=n_fine,
+            perturb=perturb, raw_noise_std=raw_noise_std, key=key,
+            params_fine=params.get("fine") if has_fine else None,
+            spec_fine=spec if has_fine else None,
+        )
+        loss = _global_masked_mse(out["acc"], batch["projs"], mask)
+        if has_fine:
+            loss = loss + _global_masked_mse(out["acc0"], batch["projs"], mask)
+        return loss
+
+    def step(state, arrays, views, key):
+        # Distinct rays per data shard; identical z grid across sample shards.
+        k = jax.random.fold_in(key, lax.axis_index(DATA_AXIS))
+        k_pix, k_render = jax.random.split(k)
+        pix_keys = jax.random.split(k_pix, n_batch)
+
+        batches = jax.vmap(
+            lambda v, kk: gather_view_batch(arrays, v, kk, local_rays)
+        )(views, pix_keys)
+        batch = jax.tree.map(lambda x: x.reshape((-1,) + x.shape[2:]), batches)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state["params"], batch, k_render)
+        # grads vary over the data axis (distinct rays) and, when the sample
+        # axis is active, over it too (distinct z-slabs); psum only over axes
+        # the value actually varies on (JAX tracks per-axis variance).
+        axes = (DATA_AXIS,) if n_sample == 1 else (DATA_AXIS, SAMPLE_AXIS)
+        grads = lax.psum(grads, axes)
+        updates, opt_state = opt.update(grads, state["opt_state"], state["params"])
+        params = optax.apply_updates(state["params"], updates)
+        new_state = {"params": params, "opt_state": opt_state,
+                     "step": state["step"] + 1}
+        return new_state, loss
+
+    return step
+
+
+def make_sharded_train_step(cfg: Dict[str, Any], spec: DensityFieldSpec,
+                            mesh, steps_per_epoch: int, *,
+                            n_rays: int, n_batch: int, use_mask: bool):
+    """One jitted sharded optimizer step.
+
+    Returns ``fn(state, arrays, views [n_batch], key) -> (state, loss)``.
+    All inputs replicated (``P()``); ray shards are *generated* per device
+    by key folding, so no cross-device data movement happens outside the
+    gradient ``psum``.
+    """
+    opt = make_optimizer(cfg, steps_per_epoch)
+    n_data = mesh.shape[DATA_AXIS]
+    n_sample = mesh.shape[SAMPLE_AXIS]
+    body = _make_shard_body(cfg, spec, opt, n_rays, n_batch, use_mask,
+                            n_data, n_sample)
+
+    sharded = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(), P(), P(), P()),
+        out_specs=(P(), P()),
+    )
+    return jax.jit(sharded, donate_argnums=(0,))
+
+
+def make_sharded_epoch_fn(cfg: Dict[str, Any], spec: DensityFieldSpec,
+                          mesh, steps_per_epoch: int, *,
+                          n_rays: int, n_batch: int, use_mask: bool):
+    """One jitted sharded epoch: ``lax.scan`` of sharded steps *inside* a
+    single ``shard_map`` region — the host touches the device mesh once
+    per epoch, and no resharding happens between steps.
+
+    Returns ``fn(state, arrays, view_order [steps, n_batch], key)
+    -> (state, losses [steps])``.
+    """
+    opt = make_optimizer(cfg, steps_per_epoch)
+    n_data = mesh.shape[DATA_AXIS]
+    n_sample = mesh.shape[SAMPLE_AXIS]
+    body = _make_shard_body(cfg, spec, opt, n_rays, n_batch, use_mask,
+                            n_data, n_sample)
+
+    def epoch(state, arrays, view_order, key):
+        keys = jax.random.split(key, view_order.shape[0])
+
+        def scan_body(carry, xs):
+            views, k = xs
+            return body(carry, arrays, views, k)
+
+        return lax.scan(scan_body, state, (view_order, keys))
+
+    sharded = jax.shard_map(
+        epoch, mesh=mesh,
+        in_specs=(P(), P(), P(), P()),
+        out_specs=(P(), P()),
+    )
+    return jax.jit(sharded, donate_argnums=(0,))

@@ -36,7 +36,7 @@ import optax
 
 from .. import geometry as G
 from ..config import with_defaults
-from ..data.dataset import ProjectionDataset, load_dataset
+from ..data.dataset import ProjectionDataset, gather_view_batch, load_dataset
 from ..losses import masked_mse
 from ..metrics import (
     cast_to_image,
@@ -49,6 +49,7 @@ from ..models import get_encoder, get_network
 from ..render import render_image, render_rays, query_field
 from ..utils.logging import ExperimentLogger
 from ..utils.profiling import StepTimer, block
+from .optim import make_lr_schedule, make_optimizer
 
 
 # --------------------------------------------------------------------------
@@ -69,27 +70,6 @@ def build_model(cfg: Dict[str, Any]):
     return spec
 
 
-def make_lr_schedule(cfg: Dict[str, Any], steps_per_epoch: int):
-    """StepLR-per-epoch (src/trainer.py:57-58) in optimizer-step units:
-    lr(step) = lrate * gamma ^ floor(epoch(step) / lrate_step)."""
-    lrate = float(cfg["train"]["lrate"])
-    gamma = float(cfg["train"]["lrate_gamma"])
-    lrate_step = int(cfg["train"]["lrate_step"])
-
-    def schedule(step):
-        epoch = step // steps_per_epoch
-        return lrate * gamma ** jnp.floor(epoch / lrate_step)
-
-    return schedule
-
-
-def make_optimizer(cfg: Dict[str, Any], steps_per_epoch: int):
-    return optax.adam(
-        learning_rate=make_lr_schedule(cfg, steps_per_epoch),
-        b1=0.9, b2=0.999,
-    )
-
-
 def init_state(cfg: Dict[str, Any], spec, steps_per_epoch: int,
                key: jax.Array) -> Dict[str, Any]:
     """TrainState pytree: params (+ optional fine params), opt state, step."""
@@ -104,18 +84,6 @@ def init_state(cfg: Dict[str, Any], spec, steps_per_epoch: int,
         "opt_state": opt.init(trainable),
         "step": jnp.zeros((), jnp.int32),
     }
-
-
-def _gather_view_batch(arrays: Dict[str, jax.Array], view: jax.Array,
-                       key: jax.Array, n_rays: int) -> Dict[str, jax.Array]:
-    """Sample ``n_rays`` valid pixels of one view (tigre.py:354-372,
-    device-side static-shape variant — see data/dataset.py)."""
-    r = jax.random.randint(key, (n_rays,), 0, arrays["pool_counts"][view])
-    flat_idx = arrays["pools"][view, r]
-    rays = arrays["rays"][view].reshape(-1, 8)[flat_idx]
-    projs = arrays["projs"][view].reshape(-1)[flat_idx]
-    mask = arrays["mask"][view].reshape(-1)[flat_idx]
-    return {"rays": rays, "projs": projs, "mask": mask}
 
 
 def make_epoch_fn(cfg: Dict[str, Any], spec, steps_per_epoch: int,
@@ -152,7 +120,7 @@ def make_epoch_fn(cfg: Dict[str, Any], spec, steps_per_epoch: int,
         pix_keys = jax.random.split(k_pix, n_batch)
 
         batches = jax.vmap(
-            lambda v, k: _gather_view_batch(arrays, v, k, n_rays)
+            lambda v, k: gather_view_batch(arrays, v, k, n_rays)
         )(views, pix_keys)
         batch = jax.tree.map(lambda x: x.reshape((-1,) + x.shape[2:]), batches)
 

@@ -1,0 +1,141 @@
+"""Sharded-training tests on the simulated 8-device CPU mesh.
+
+Exercises the shard_map data-parallel and sample-parallel paths
+(SURVEY.md §2 "TPU-native equivalents to build") without TPU hardware.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from neuralvolumetricreconstructionformedicalimages_tpu import geometry as G
+from neuralvolumetricreconstructionformedicalimages_tpu.config import with_defaults
+from neuralvolumetricreconstructionformedicalimages_tpu.parallel import (
+    MeshSpec,
+    local_batch_size,
+    make_mesh,
+    make_sharded_epoch_fn,
+    make_sharded_train_step,
+)
+from neuralvolumetricreconstructionformedicalimages_tpu.train.trainer import (
+    build_model,
+    init_state,
+    make_epoch_fn,
+)
+
+
+def _tiny_cfg(n_rays=128, n_samples=16):
+    return with_defaults({
+        "exp": {"expname": "t", "expdir": "/tmp", "datadir": ""},
+        "network": {"net_type": "mlp", "num_layers": 3, "hidden_dim": 16,
+                    "skips": [1], "out_dim": 1, "last_activation": "sigmoid",
+                    "bound": 0.3},
+        "encoder": {"encoding": "hashgrid", "input_dim": 3, "num_levels": 4,
+                    "level_dim": 2, "base_resolution": 4,
+                    "log2_hashmap_size": 8},
+        "render": {"n_samples": n_samples, "n_fine": 0, "perturb": True,
+                   "raw_noise_std": 0.0, "netchunk": 4096},
+        "train": {"epoch": 2, "n_batch": 1, "n_rays": n_rays, "lrate": 1e-3,
+                  "lrate_gamma": 0.1, "lrate_step": 100, "resume": False},
+        "log": {"i_eval": 0, "i_save": 0},
+    })
+
+
+def _tiny_arrays(key, n_views=4, H=8, W=8):
+    """Synthetic packed dataset arrays (replicated layout used by steps)."""
+    geo = G.ConeGeometry(
+        DSD=1.5, DSO=1.0, nDetector=(W, H), dDetector=(0.01, 0.01),
+        nVoxel=(8, 8, 8), dVoxel=(0.01, 0.01, 0.01), mode="parallel",
+        tilt_angle=10.0,
+    )
+    angles = np.linspace(0, np.pi, n_views, endpoint=False).astype(np.float32)
+    near, far = G.get_near_far(geo)
+    ro, rd = G.rays_for_angles(geo, angles)
+    rays = G.pack_rays(ro, rd, near, far)
+    projs = jax.random.uniform(key, (n_views, H, W)) * 0.1 + 0.01
+    pools = jnp.broadcast_to(jnp.arange(H * W, dtype=jnp.int32), (n_views, H * W))
+    return {
+        "rays": rays,
+        "projs": projs,
+        "mask": jnp.ones((n_views, H, W), jnp.float32),
+        "pools": pools,
+        "pool_counts": jnp.full((n_views,), H * W, jnp.int32),
+    }
+
+
+@pytest.mark.parametrize("mesh_spec", [
+    MeshSpec(data=8, sample=1),
+    MeshSpec(data=4, sample=2),
+    MeshSpec(data=1, sample=8),
+])
+def test_sharded_step_runs_and_descends(mesh_spec):
+    cfg = _tiny_cfg()
+    mesh = make_mesh(mesh_spec)
+    spec = build_model(cfg)
+    key = jax.random.key(0)
+    arrays = _tiny_arrays(jax.random.key(1))
+    state = init_state(cfg, spec, steps_per_epoch=4, key=key)
+    step_fn = make_sharded_train_step(
+        cfg, spec, mesh, steps_per_epoch=4,
+        n_rays=cfg["train"]["n_rays"], n_batch=1, use_mask=False,
+    )
+
+    views = jnp.zeros((1,), jnp.int32)
+    losses = []
+    for i in range(8):
+        state, loss = step_fn(state, arrays, views, jax.random.key(100 + i))
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]  # optimizing
+    assert int(state["step"]) == 8
+
+
+def test_sharded_epoch_matches_shapes():
+    cfg = _tiny_cfg()
+    mesh = make_mesh(MeshSpec(data=4, sample=2))
+    spec = build_model(cfg)
+    arrays = _tiny_arrays(jax.random.key(1))
+    state = init_state(cfg, spec, steps_per_epoch=4, key=jax.random.key(0))
+    epoch_fn = make_sharded_epoch_fn(
+        cfg, spec, mesh, steps_per_epoch=4,
+        n_rays=cfg["train"]["n_rays"], n_batch=1, use_mask=False,
+    )
+    view_order = jnp.zeros((4, 1), jnp.int32)
+    state, losses = epoch_fn(state, arrays, view_order, jax.random.key(7))
+    assert losses.shape == (4,)
+    assert np.isfinite(np.asarray(losses)).all()
+    assert int(state["step"]) == 4
+
+
+def test_sample_sharded_loss_matches_single_device():
+    """A sample-sharded step with perturb off must compute the same loss a
+    single-device step computes for the identical ray batch (the line
+    integral is an exact associative reduction — no tolerance games)."""
+    cfg = _tiny_cfg()
+    cfg["render"]["perturb"] = False
+    spec = build_model(cfg)
+    arrays = _tiny_arrays(jax.random.key(1))
+    state = init_state(cfg, spec, steps_per_epoch=4, key=jax.random.key(0))
+
+    # single-device epoch fn with n_data=1 mesh semantics
+    mesh1 = make_mesh(MeshSpec(data=1, sample=1), devices=jax.devices()[:1])
+    meshS = make_mesh(MeshSpec(data=1, sample=8))
+
+    views = jnp.zeros((1,), jnp.int32)
+    key = jax.random.key(3)
+
+    f1 = make_sharded_train_step(cfg, spec, mesh1, 4, n_rays=128, n_batch=1,
+                                 use_mask=False)
+    fS = make_sharded_train_step(cfg, spec, meshS, 4, n_rays=128, n_batch=1,
+                                 use_mask=False)
+    _, loss1 = f1(jax.tree.map(jnp.copy, state), arrays, views, key)
+    _, lossS = fS(jax.tree.map(jnp.copy, state), arrays, views, key)
+    np.testing.assert_allclose(float(loss1), float(lossS), rtol=1e-5)
+
+
+def test_local_batch_size_validation():
+    mesh = make_mesh(MeshSpec(data=8, sample=1))
+    assert local_batch_size(1024, mesh) == 128
+    with pytest.raises(ValueError):
+        local_batch_size(100, mesh)
