@@ -60,11 +60,14 @@ class HashEncoderSpec(EncoderSpec):
         prefix = x01.shape[:-1]
         x01 = x01.reshape(-1, self.grid.input_dim)
         if self.use_pallas:
-            from ..ops.hash_encoding_pallas import hash_encode_pallas
-
-            out = hash_encode_pallas(x01, params["table"], self.grid)
-        else:
-            out = hash_encode(x01, params["table"], self.grid)
+            raise NotImplementedError(
+                "A Pallas hash-encode kernel is not viable on the current "
+                "Mosaic toolchain: tpu.dynamic_gather only compiles for "
+                "single-tile shapes, and the XLA gather is already at the "
+                "hardware's random-access floor (~8 ns/index). "
+                "See docs/design_notes.md §2."
+            )
+        out = hash_encode(x01, params["table"], self.grid)
         return out.reshape(*prefix, self.output_dim)
 
 

@@ -17,8 +17,8 @@ TPU-first design decisions (deliberate upgrades, not translations):
 
 - The table is stored **uniformly padded** as ``[L, 2^S, C]`` instead of the
   reference's ragged flat layout.  Uniform layout makes the index math a
-  single vectorized expression and lets the Pallas kernel stream one
-  level's table into VMEM per grid step.
+  single vectorized expression (no per-level offsets table) and keeps the
+  whole encoder one fused XLA computation.
 - Positions stay **float32** end-to-end.  The reference casts inputs to
   fp16 (``hashgrid.py:12``), which quantizes coordinates to ~2^-11 — at the
   finest level (scale 524287) that is >100 grid cells of quantization.
@@ -98,26 +98,33 @@ def hash_grid_indices(spec: HashGridSpec, x01: jax.Array):
     """Corner indices + interpolation weights for points ``x01`` in [0, 1].
 
     Returns:
-      idx: uint32 [B, L, 2^D] per-level table indices (pre-offset)
+      idx: int32 [B, L, 2^D] per-level table indices (pre-offset)
       w:   float32 [B, L, 2^D] trilinear weights
+
+    Performance note: everything is int32 (wraparound multiply/xor matches
+    the reference's uint32 bits exactly) and there is **no integer modulo**
+    — VPU integer division is ~100x an elementwise op and dominated the
+    step time in the naive formulation.  Dense levels are in-range by
+    construction (``(res+1)^D <= table``), and hashed levels always have
+    the full power-of-two table (``min(2^S, dense) == 2^S``), so the
+    reference's ``% size`` (hashencoder.cu:50,73) reduces to a bitwise AND.
     """
     D = spec.input_dim
     L = spec.num_levels
-    B = x01.shape[0]
     n_corners = 1 << D
 
     scales = jnp.asarray(spec.scales)                       # [L]
     pos = x01[:, None, :].astype(jnp.float32) * scales[None, :, None] + 0.5
     pos_grid = jnp.floor(pos)
     frac = pos - pos_grid                                   # [B, L, D]
-    pos_grid = pos_grid.astype(jnp.uint32)
+    pos_grid = pos_grid.astype(jnp.int32)
 
     # Corner bit patterns [2^D, D].
     bits = ((np.arange(n_corners)[:, None] >> np.arange(D)[None, :]) & 1)
     bits_f = jnp.asarray(bits, jnp.float32)                 # [2^D, D]
-    bits_u = jnp.asarray(bits, jnp.uint32)
+    bits_i = jnp.asarray(bits, jnp.int32)
 
-    corner = pos_grid[:, :, None, :] + bits_u[None, None]   # [B, L, 2^D, D]
+    corner = pos_grid[:, :, None, :] + bits_i[None, None]   # [B, L, 2^D, D]
 
     # Interp weight: prod_d (bit ? frac : 1-frac).
     w = jnp.prod(
@@ -126,19 +133,25 @@ def hash_grid_indices(spec: HashGridSpec, x01: jax.Array):
     )                                                       # [B, L, 2^D]
 
     # Dense row-major index with stride (res+1)^d per dim (hashencoder.cu:55-65).
-    res_p1 = jnp.asarray(spec.resolutions + 1, jnp.uint32)  # [L]
-    strides = jnp.stack([res_p1**d for d in range(D)], -1)  # [L, D] uint32
+    # Stride constants wrap mod 2^32 like the reference's uint32 math; the
+    # wrapped values are only consumed on hashed levels where the dense
+    # branch is discarded.
+    res_p1 = (spec.resolutions + 1).astype(np.uint64)
+    strides_np = np.stack([res_p1**d for d in range(D)], -1) & 0xFFFFFFFF
+    strides = jnp.asarray(strides_np.astype(np.uint32).view(np.int32))  # [L, D]
     idx_dense = jnp.sum(corner * strides[None, :, None, :], axis=-1)  # [B, L, 2^D]
 
-    # XOR-prime hash with uint32 wraparound (hashencoder.cu:36-52).
-    primes = jnp.asarray(_HASH_PRIMES[:D], jnp.uint32)
+    # XOR-prime hash with wraparound (hashencoder.cu:36-52); int32 two's-
+    # complement multiply produces the same low 32 bits as uint32.
+    primes = jnp.asarray(np.asarray(_HASH_PRIMES[:D], np.uint32).view(np.int32))
     idx_hash = corner[..., 0] * primes[0]
     for d in range(1, D):
         idx_hash = idx_hash ^ (corner[..., d] * primes[d])
+    # hashed levels have exactly 2^log2_hashmap_size entries -> mask, not mod
+    idx_hash = idx_hash & jnp.int32(spec.table_size - 1)
 
     dense = jnp.asarray(spec.dense_levels)                  # [L] bool
-    sizes = jnp.asarray(spec.level_sizes.astype(np.uint32)) # [L]
-    idx = jnp.where(dense[None, :, None], idx_dense, idx_hash) % sizes[None, :, None]
+    idx = jnp.where(dense[None, :, None], idx_dense, idx_hash)
     return idx, w
 
 
@@ -152,9 +165,15 @@ def hash_encode(x01: jax.Array, table: jax.Array, spec: HashGridSpec) -> jax.Arr
     L, S, C = table.shape
     idx, w = hash_grid_indices(spec, x01)                   # [B, L, 2^D]
 
-    level_offsets = jnp.arange(L, dtype=jnp.uint32)[None, :, None] * jnp.uint32(S)
-    flat_idx = (idx + level_offsets).astype(jnp.int32)      # [B, L, 2^D]
+    level_offsets = jnp.arange(L, dtype=jnp.int32)[None, :, None] * jnp.int32(S)
+    flat_idx = idx + level_offsets                          # [B, L, 2^D]
     flat_table = table.reshape(L * S, C)
+    # NOTE: keep jnp.take (clip mode) rather than lax.gather with
+    # PROMISE_IN_BOUNDS — measured on v5e, the forward cost is identical
+    # (~8 ns/index either way) but take's autodiff backward lowers to a
+    # fast scatter (~1 ns/update in situ) while the PIB gather's VJP
+    # lowers to the slow explicit scatter path (~55 ns/update, 1.6 s/step).
+    # See docs/design_notes.md §2.
     vals = jnp.take(flat_table, flat_idx, axis=0)           # [B, L, 2^D, C]
 
     out = jnp.sum(w[..., None].astype(vals.dtype) * vals, axis=2)  # [B, L, C]

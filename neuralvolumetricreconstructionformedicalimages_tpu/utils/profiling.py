@@ -13,10 +13,21 @@ import numpy as np
 
 
 def block(tree):
-    """Block until every array in a pytree is computed."""
-    for leaf in jax.tree_util.tree_leaves(tree):
-        if hasattr(leaf, "block_until_ready"):
-            leaf.block_until_ready()
+    """Block until every array in a pytree is computed.
+
+    On some remote-device PJRT platforms (the "axon" TPU tunnel in this
+    container) ``block_until_ready`` returns before execution finishes, so
+    we additionally fence with a tiny device->host transfer.  Device
+    streams execute dispatches in order, so materializing one element of
+    one output buffer fences every prior dispatch; leaves of a single
+    jitted call all come from the same executable.
+    """
+    leaves = [l for l in jax.tree_util.tree_leaves(tree)
+              if hasattr(l, "block_until_ready")]
+    for leaf in leaves:
+        leaf.block_until_ready()
+    if leaves:
+        np.asarray(jax.device_get(leaves[-1].ravel()[:1]))
     return tree
 
 
