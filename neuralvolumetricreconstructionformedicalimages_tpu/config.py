@@ -26,13 +26,17 @@ _TPU_DEFAULTS: Dict[str, Dict[str, Any]] = {
         "compute_dtype": "float32",
         "table_dtype": "float32",
     },
-    "render": {
-        "use_pallas": False,   # Pallas hash-encode kernel on TPU (jnp fallback otherwise)
+    "encoder": {
+        "hash_variant": "coherent",  # "coherent" (TPU-fast) | "xor" (reference-exact)
+        "fast": True,                # rolled-gather + Pallas bucket-matmul path
     },
     "train": {
         "seed": 42,
         "shuffle_views": False,  # reference DataLoader iterates views in order
-        "loss": "mse",
+        "loss": "mse",           # see losses.get_loss_fn (e.g. "huber", "mse+tv")
+    },
+    "log": {
+        "eval_mask": False,      # eval_stepMASK variant (train.py:138-218)
     },
 }
 

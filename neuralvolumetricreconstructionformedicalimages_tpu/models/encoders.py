@@ -43,10 +43,20 @@ class HashEncoderSpec(EncoderSpec):
     encoding.  Out-of-range inputs are *clamped* (the renderer already
     clamps to ``bound - 1e-6``, matching render.py:104-105; the reference
     raised ValueError, which has no jit equivalent).
+
+    ``hash_variant`` selects the collision hash:
+
+    - ``"coherent"`` (default): linear hash, TPU-fast path — rolled-table
+      wide-row gather forward + Pallas sort/bucket-matmul backward
+      (``ops/coherent_hash.py``).  Set ``fast=False`` for the pure-jnp
+      oracle of the same hash (used by the equivalence tests).
+    - ``"xor"``: the reference's XOR-prime hash (``hashencoder.cu:36-52``),
+      bit-exact parity mode; pure-jnp gather path only (slow on TPU).
     """
 
     grid: HashGridSpec = HashGridSpec()
-    use_pallas: bool = False
+    hash_variant: str = "coherent"
+    fast: bool = True
 
     @property
     def output_dim(self) -> int:
@@ -56,18 +66,25 @@ class HashEncoderSpec(EncoderSpec):
         return {"table": self.grid.init(key, dtype=dtype)}
 
     def apply(self, params, x, bound: float):
+        from ..ops.coherent_hash import coherent_encode, coherent_encode_reference
+
         x01 = jnp.clip((x + bound) / (2.0 * bound), 0.0, 1.0)
         prefix = x01.shape[:-1]
         x01 = x01.reshape(-1, self.grid.input_dim)
-        if self.use_pallas:
+        if self.hash_variant == "xor":
+            out = hash_encode(x01, params["table"], self.grid)
+        elif self.hash_variant == "coherent":
+            # The bucket kernel needs the table length to tile into
+            # 2048-wide buckets; tiny test tables use the oracle path.
+            fast = self.fast and self.grid.table_size % 2048 == 0
+            if fast:
+                out = coherent_encode(x01, params["table"], self.grid)
+            else:
+                out = coherent_encode_reference(x01, params["table"], self.grid)
+        else:
             raise NotImplementedError(
-                "A Pallas hash-encode kernel is not viable on the current "
-                "Mosaic toolchain: tpu.dynamic_gather only compiles for "
-                "single-tile shapes, and the XLA gather is already at the "
-                "hardware's random-access floor (~8 ns/index). "
-                "See docs/design_notes.md §2."
+                f"Unknown hash_variant {self.hash_variant!r}"
             )
-        out = hash_encode(x01, params["table"], self.grid)
         return out.reshape(*prefix, self.output_dim)
 
 
@@ -134,7 +151,8 @@ def get_encoder(
     level_dim: int = 2,
     base_resolution: int = 16,
     log2_hashmap_size: int = 19,
-    use_pallas: bool = False,
+    hash_variant: str = "coherent",
+    fast: bool = True,
     **kwargs,
 ) -> EncoderSpec:
     """Encoder factory mirroring ``src/encoder/__init__.py:5-25``."""
@@ -153,6 +171,7 @@ def get_encoder(
                 base_resolution=base_resolution,
                 log2_hashmap_size=log2_hashmap_size,
             ),
-            use_pallas=use_pallas,
+            hash_variant=hash_variant,
+            fast=fast,
         )
     raise NotImplementedError(f"Unknown encoding {encoding!r}")

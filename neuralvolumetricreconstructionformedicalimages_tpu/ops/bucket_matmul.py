@@ -1,0 +1,254 @@
+"""Deterministic segment accumulation via per-bucket one-hot matmuls (Pallas).
+
+This is the TPU-native replacement for the hash-encoder backward scatter:
+the reference resolves 25.2M colliding updates per step with CUDA
+``atomicAdd`` (``hashencoder.cu:201-272``, nondeterministic); XLA's scatter
+lowers to a serial loop (~63 ns/update measured on v5e = 1.6 s/step,
+docs/microbench_r2.md).
+
+Here the updates are *sorted by table index* on the XLA side (batched
+bitonic sort, ~12 ms for [16, 196K] with 5 payload lanes) and this kernel
+reduces each width-``W`` bucket of the table with MXU matmuls:
+
+    grad[f, w] = sum_m payload[f, m] * onehot(key_m - bucket_base, W)[w]
+
+Design notes:
+
+- The one-hot is never materialized at full width: with ``W = HI * LO`` it
+  factors as ``onehot_hi (x) onehot_lo`` (Kronecker), so the kernel builds
+  two narrow one-hots (HI + LO columns instead of W = HI*LO), pre-multiplies
+  the LO factor on the VPU and contracts the HI factor on the MXU — ~20x
+  less one-hot work than a naive ``[M, W]`` compare.
+- The payload stream carries only ``D`` fractional-position lanes and ``C``
+  output-grad lanes through the sort (lanes are what the bitonic network
+  moves, so fewer lanes = faster sort); the 2^D corner weights are
+  recomputed on the VPU inside the kernel.
+- Buckets are walked with a *dynamic* number of fixed-size chunks
+  (``cdiv(len_b, M)``), double-buffered HBM->VMEM DMAs, so arbitrarily
+  skewed buckets (duplicate-heavy coarse levels) are handled exactly — no
+  MAXLEN truncation anywhere.  Chunks of one bucket may overlap the
+  neighbours' elements; the one-hot masks them out by construction (their
+  local index falls outside [0, W)).
+
+Everything accumulates in f32 with a fixed reduction order -> bitwise
+reproducible, a deliberate upgrade over the reference (SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# Bucket width W = HI * LO; M = sorted-update chunk per inner step.
+# HI is the MXU-contracted factor (128 = full lane width); LO is the
+# VPU-premultiplied factor.
+_HI = 128
+_LO = 16
+_W = _HI * _LO  # 2048
+_M = 512
+
+
+def _corner_bits(input_dim: int) -> np.ndarray:
+    n = 1 << input_dim
+    return ((np.arange(n)[:, None] >> np.arange(input_dim)[None, :]) & 1).astype(
+        np.int32
+    )
+
+
+def _kernel(starts_ref, stream_ref, out_ref, pbuf, acc, sems, *, D, K, C):
+    F1 = 1 + D + C  # live lanes; pbuf/stream are padded to a multiple of 8
+    b = pl.program_id(1)
+    l = pl.program_id(0)
+    # DMA offsets along the lane-tiled (minor) dim must be 128-aligned:
+    # round the bucket start down; the leading out-of-bucket elements have
+    # keys < bucket base and match no one-hot column.
+    s0 = (starts_ref[l, b] // 128) * 128
+    s1 = starts_ref[l, b + 1]
+    n_sub = pl.cdiv(s1 - s0, _M)
+    bits = _corner_bits(D)  # [K, D] python ints
+
+    acc[...] = jnp.zeros_like(acc)
+
+    def _dma(j, slot):
+        return pltpu.make_async_copy(
+            stream_ref.at[l, :, pl.ds(s0 + j * _M, _M)],
+            pbuf.at[slot],
+            sems.at[slot],
+        )
+
+    @pl.when(n_sub > 0)
+    def _():
+        _dma(0, 0).start()
+
+    def body(j, carry):
+        slot = jax.lax.rem(j, 2)
+
+        @pl.when(j + 1 < n_sub)
+        def _():
+            _dma(j + 1, 1 - slot).start()
+
+        _dma(j, slot).wait()
+        chunk = pbuf[slot]  # (F1, M) f32
+        keys = chunk[0:1, :]  # (1, M), integral-valued f32
+        frac = chunk[1 : 1 + D, :]  # (D, M)
+        g = chunk[1 + D : F1, :]  # (C, M)
+
+        # Corner weights w_k = prod_d (bit ? f_d : 1 - f_d)   -> (K, M)
+        rows = []
+        for k in range(K):
+            wk = jnp.ones_like(keys)
+            for d in range(D):
+                t = frac[d : d + 1, :]
+                wk = wk * (t if bits[k, d] else (1.0 - t))
+            rows.append(wk)
+        w = jnp.concatenate(rows, axis=0)  # (K, M)
+
+        lo_full = (keys - jnp.float32(b * _W)).astype(jnp.int32)  # [0, W) iff in-bucket
+        hi_idx = jax.lax.div(lo_full, _LO)
+        lo_idx = lo_full - hi_idx * _LO
+
+        # Out-of-bucket keys (bucket overlap, sentinel padding) match no
+        # one-hot column: hi_idx falls outside [0, HI).  (lax.div rounds
+        # toward zero; negative lo_full can only alias hi_idx == 0 with
+        # lo_idx < 0, which matches no column either.)
+        oh_hi = (
+            jax.lax.broadcasted_iota(jnp.int32, (_HI, _M), 0) == hi_idx
+        ).astype(jnp.float32)
+        oh_lo = (
+            jax.lax.broadcasted_iota(jnp.int32, (_LO, _M), 0) == lo_idx
+        ).astype(jnp.float32)
+
+        # payload[f=c*K+k, m] = w[k, m] * g[c, m]
+        pay = jnp.concatenate([w * g[c : c + 1, :] for c in range(C)], axis=0)
+        # VPU: pre-multiply the LO one-hot -> (F2*LO, M)
+        p2 = (pay[:, None, :] * oh_lo[None, :, :]).reshape(C * K * _LO, _M)
+        # MXU: contract the HI one-hot -> (F2*LO, HI).  HIGHEST precision:
+        # TPU default would round the f32 payload to bf16 (~0.4% error).
+        acc[...] += jax.lax.dot_general(
+            p2,
+            oh_hi,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        return carry
+
+    jax.lax.fori_loop(0, n_sub, body, 0)
+
+    # Write the accumulator layout raw: (F2*LO, HI).  The (f, lo, b, hi)
+    # -> table-column rearrangement happens outside the kernel (a cheap
+    # XLA transpose); Mosaic cannot reshape across the minor dimension.
+    out_ref[0] = acc[...]
+
+
+def bucket_grad_matmul(
+    sorted_keys: jax.Array,
+    sorted_frac: jax.Array,
+    sorted_grads: jax.Array,
+    *,
+    table_size: int,
+    input_dim: int,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Segment-sum sorted hash-grid updates into per-level gradient tables.
+
+    Args:
+      sorted_keys: [L, B] int32, ascending per level, in [0, table_size).
+      sorted_frac: [L, D, B] f32 in-cell fractional positions (sorted order).
+      sorted_grads: [L, C, B] f32 output gradients (sorted order).
+      table_size: padded per-level table length (multiple of 2048).
+      input_dim: D (2 or 3).
+      interpret: force Pallas interpret mode (defaults to True off-TPU).
+
+    Returns:
+      grad_rolled [L, C*K, table_size] f32 (K = 2^D) where
+      ``grad_rolled[l, c*K + k, s] = sum over updates with key s of w_k * g_c``
+      and ``w_k`` is the trilinear weight of corner ``k``.
+    """
+    L, B = sorted_keys.shape
+    S = int(table_size)
+    D = int(input_dim)
+    K = 1 << D
+    C = sorted_grads.shape[1]
+    F1 = 1 + D + C
+    # DMA slices must be sublane-aligned (multiple of 8 rows on f32).
+    F1p = -(-F1 // 8) * 8
+    assert S % _W == 0, f"table_size {S} must be a multiple of {_W}"
+    NB = S // _W
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    # Pad the stream so every chunk DMA [s, s+M) is in-bounds even after
+    # 128-alignment of bucket starts; the sentinel key == table_size lands
+    # outside every bucket's one-hot window.
+    pad = _M + 256
+    keys_f = jnp.pad(
+        sorted_keys.astype(jnp.float32), ((0, 0), (0, pad)), constant_values=float(S)
+    )
+    lanes = jnp.concatenate([sorted_frac, sorted_grads], axis=1)
+    lanes = jnp.pad(lanes.astype(jnp.float32), ((0, 0), (0, 0), (0, pad)))
+    stream = jnp.concatenate([keys_f[:, None, :], lanes], axis=1)  # [L, F1, B+M]
+    stream = jnp.pad(stream, ((0, 0), (0, F1p - F1), (0, 0)))
+
+    edges = jnp.arange(NB + 1, dtype=jnp.int32) * _W
+    starts = jax.vmap(lambda k: jnp.searchsorted(k, edges, side="left"))(
+        sorted_keys
+    ).astype(jnp.int32)  # [L, NB+1]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(L, NB),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(
+            (1, C * K * _LO, _HI), lambda l, b, starts: (l, 0, b)
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, F1p, _M), jnp.float32),
+            pltpu.VMEM((C * K * _LO, _HI), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    raw = pl.pallas_call(
+        functools.partial(_kernel, D=D, K=K, C=C),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((L, C * K * _LO, NB * _HI), jnp.float32),
+        interpret=interpret,
+    )(starts, stream)
+    # raw[l, (f, lo), (b, hi)] -> grad[l, f, s] with s = b*W + hi*LO + lo
+    raw = raw.reshape(L, C * K, _LO, NB, _HI)
+    return raw.transpose(0, 1, 3, 4, 2).reshape(L, C * K, S)
+
+
+def bucket_grad_matmul_reference(
+    keys: jax.Array,
+    frac: jax.Array,
+    grads: jax.Array,
+    *,
+    table_size: int,
+    input_dim: int,
+) -> jax.Array:
+    """Exact jnp oracle (plain scatter-add — slow on TPU, for tests).
+
+    Same signature semantics as ``bucket_grad_matmul`` but keys need not be
+    sorted.
+    """
+    L, D, B = frac.shape
+    K = 1 << D
+    C = grads.shape[1]
+    bits = jnp.asarray(_corner_bits(D), jnp.float32)  # [K, D]
+    t = jnp.where(
+        bits[None, :, :, None] > 0, frac[:, None, :, :], 1.0 - frac[:, None, :, :]
+    )  # [L, K, D, B]
+    w = jnp.prod(t, axis=2)  # [L, K, B]
+    pay = (grads[:, :, None, :] * w[:, None, :, :]).reshape(L, C * K, B)
+
+    def one(k_l, p_l):
+        z = jnp.zeros((table_size, C * K), p_l.dtype)
+        return z.at[k_l].add(p_l.T).T
+
+    return jax.vmap(one)(keys, pay)

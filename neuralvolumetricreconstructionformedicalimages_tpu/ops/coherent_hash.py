@@ -1,0 +1,298 @@
+"""Coherent (linear) multiresolution hash encoding — the TPU-fast variant.
+
+The reference encoder's XOR-prime hash (``hashencoder.cu:36-52``) is
+GPU-native: every (point, level, corner) lookup is an independent random
+4-byte access, absorbed by the GPU's gather hardware and L2.  A TPU has no
+gather unit — XLA's gather costs ~7 ns *per row* regardless of row width
+(measured on v5e, docs/microbench_r2.md), so the 25.2M two-float gathers of
+a chest-scale step cost ~200 ms forward and the scatter backward ~1.6 s.
+
+This module replaces the XOR hash with a **linear ("coherent") hash**
+
+    index(g) = (a1*g1 + a2*g2 + a3*g3) mod 2^S          (uint32 wraparound)
+
+chosen so that the 8 cell corners of a point live at *static offsets* from
+the cell's base index:
+
+    index(g + bits) = index(g) + (bits . a)   (mod 2^S)
+
+That single property unlocks the TPU formulation:
+
+- **Forward**: pre-"roll" the level table into ``[S, 8*C]`` rows whose row
+  ``i`` holds all 8 corner features for base index ``i``; each
+  (point, level) lookup becomes ONE wide row gather (3.1M x 32-64B rows
+  instead of 25.2M x 8B) — ~10x faster, per-row-cost dominated.
+- **Backward**: sort (base index, payload) per level, then accumulate with
+  per-bucket one-hot matmuls on the MXU (``ops/bucket_matmul.py``) — a
+  deterministic segment reduction with *zero* XLA scatters, replacing the
+  reference's nondeterministic CUDA ``atomicAdd``
+  (``hashencoder.cu:253-270``).
+
+Semantics preserved from the reference (``hashgrid.py:95-113``,
+``hashencoder.cu:55-149``):
+
+- per-level scale ``2^l * H - 1``, position ``x*scale + 0.5``, trilinear
+  corner weights — identical to the XOR variant;
+- *dense* levels (``(res+1)^D <= 2^S``) use exactly the reference's
+  row-major dense indexing — the linear hash with multipliers
+  ``(1, res+1, (res+1)^2)`` IS the dense layout, so dense levels are
+  bit-identical to the XOR variant;
+- only the >2^19-cell levels hash differently (linear vs XOR).  Collision
+  *rate* is identical (pigeonhole); collision *structure* is a lattice
+  instead of pseudo-random.  Quality parity is validated empirically
+  (tests/test_coherent_hash.py convergence test, chest-scale PSNR run).
+
+The pure-jnp ``coherent_encode_reference`` is the permanent correctness
+oracle; ``coherent_encode`` is the fast path (rolled gather forward +
+custom_vjp sort/bucket-matmul backward).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .hash_encoding import HashGridSpec
+
+# Multipliers for hashed levels: a1 = 1 keeps x-adjacent cells adjacent in
+# the table (maximum memory coherence); a2/a3 are the reference's XOR
+# primes reused as *linear* multipliers (hashencoder.cu:43) — large, odd,
+# and empirically well-spread mod 2^19.
+_LINEAR_MULTIPLIERS = (1, 19349663, 83492791)
+
+
+@functools.lru_cache(maxsize=None)
+def multipliers(spec: HashGridSpec) -> np.ndarray:
+    """Per-level linear-hash multipliers [L, D] (int32 bit pattern).
+
+    Dense levels get the exact dense row-major strides ``(res+1)^d``
+    (reference parity, hashencoder.cu:55-65); hashed levels get the
+    coherent multipliers.
+    """
+    D, L = spec.input_dim, spec.num_levels
+    res_p1 = (spec.resolutions + 1).astype(np.uint64)
+    out = np.zeros((L, D), np.uint32)
+    for l in range(L):
+        if spec.dense_levels[l]:
+            for d in range(D):
+                out[l, d] = (res_p1[l] ** d) & 0xFFFFFFFF
+        else:
+            out[l] = np.asarray(_LINEAR_MULTIPLIERS[:D], np.uint32)
+    return out.view(np.int32)
+
+
+@functools.lru_cache(maxsize=None)
+def corner_bits(input_dim: int) -> np.ndarray:
+    """[2^D, D] corner bit patterns, bit d of corner c = (c >> d) & 1."""
+    n = 1 << input_dim
+    return ((np.arange(n)[:, None] >> np.arange(input_dim)[None, :]) & 1).astype(
+        np.int32
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def corner_offsets(spec: HashGridSpec) -> np.ndarray:
+    """[L, 2^D] table-index offset of each corner from the base index."""
+    bits = corner_bits(spec.input_dim).astype(np.int64)  # [2^D, D]
+    mult = multipliers(spec).view(np.uint32).astype(np.int64)  # [L, D]
+    off = (mult[:, None, :] * bits[None, :, :]).sum(-1)  # [L, 2^D]
+    return (off & (spec.table_size - 1)).astype(np.int32)
+
+
+def base_and_frac(spec: HashGridSpec, x01: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Base cell index (masked to the table) and fractional position.
+
+    Returns:
+      base: int32 [B, L] table index of corner 0 (already mod 2^S)
+      frac: float32 [B, L, D] in-cell position
+    """
+    scales = jnp.asarray(spec.scales)  # [L]
+    pos = x01[:, None, :].astype(jnp.float32) * scales[None, :, None] + 0.5
+    pos_grid = jnp.floor(pos)
+    frac = pos - pos_grid  # [B, L, D]
+    g = pos_grid.astype(jnp.int32)  # [B, L, D]
+    mult = jnp.asarray(multipliers(spec))  # [L, D]
+    # int32 wraparound multiply-add == uint32 mod-2^32; mod 2^S divides it.
+    raw = jnp.sum(g * mult[None, :, :], axis=-1)  # [B, L]
+    return raw & jnp.int32(spec.table_size - 1), frac
+
+
+def corner_weights(spec: HashGridSpec, frac: jax.Array) -> jax.Array:
+    """Trilinear weights [B, L, 2^D] from frac [B, L, D]."""
+    bits = jnp.asarray(corner_bits(spec.input_dim), jnp.float32)  # [2^D, D]
+    t = jnp.where(
+        bits[None, None] > 0, frac[:, :, None, :], 1.0 - frac[:, :, None, :]
+    )
+    return jnp.prod(t, axis=-1)
+
+
+def corner_weight_grads(spec: HashGridSpec, frac: jax.Array) -> jax.Array:
+    """d(weight)/d(frac): [B, L, 2^D, D].
+
+    dw_k/df_d = sign_d(k) * prod_{e != d} t_e(k)  with t_e = bit ? f : 1-f.
+    Computed by explicit products (no division — stable at f in {0, 1}).
+    """
+    D = spec.input_dim
+    bits = jnp.asarray(corner_bits(D), jnp.float32)  # [2^D, D]
+    t = jnp.where(
+        bits[None, None] > 0, frac[:, :, None, :], 1.0 - frac[:, :, None, :]
+    )  # [B, L, 2^D, D]
+    sign = jnp.where(bits[None, None] > 0, 1.0, -1.0)
+    grads = []
+    for d in range(D):
+        prod = sign[..., d]
+        for e in range(D):
+            if e != d:
+                prod = prod * t[..., e]
+        grads.append(prod)
+    return jnp.stack(grads, axis=-1)
+
+
+def coherent_encode_reference(
+    x01: jax.Array, table: jax.Array, spec: HashGridSpec
+) -> jax.Array:
+    """Pure-jnp oracle for the coherent variant (slow path, autodiff bwd).
+
+    Same gather structure as ``hash_encoding.hash_encode`` but with linear
+    corner indexing.  Differentiable in both arguments.
+    """
+    B = x01.shape[0]
+    L, S, C = table.shape
+    base, frac = base_and_frac(spec, x01)
+    w = corner_weights(spec, frac)  # [B, L, 2^D]
+    offs = jnp.asarray(corner_offsets(spec))  # [L, 2^D]
+    idx = (base[:, :, None] + offs[None]) & jnp.int32(S - 1)  # [B, L, 2^D]
+    level_offsets = jnp.arange(L, dtype=jnp.int32)[None, :, None] * jnp.int32(S)
+    vals = jnp.take(table.reshape(L * S, C), idx + level_offsets, axis=0)
+    out = jnp.sum(w[..., None].astype(vals.dtype) * vals, axis=2)  # [B, L, C]
+    return out.reshape(B, L * C).astype(jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# Fast path
+# ---------------------------------------------------------------------------
+
+def build_rolled_table(
+    table: jax.Array, spec: HashGridSpec, dtype=jnp.float32
+) -> jax.Array:
+    """[L, S, C] canonical table -> [L, S, 2^D * C] rolled corner table.
+
+    Row ``i`` of level ``l`` holds feature ``c`` of corner ``k`` at column
+    ``c * 2^D + k``:  rolled[l, i, c*2^D + k] = table[l, (i + off[l,k]) % S, c].
+    """
+    L, S, C = table.shape
+    n_corners = 1 << spec.input_dim
+    offs = corner_offsets(spec)  # [L, n_corners] numpy
+    cols = []
+    for c in range(C):
+        for k in range(n_corners):
+            shifted = jax.vmap(lambda t, o: jnp.roll(t, -o, axis=0))(
+                table[..., c], jnp.asarray(offs[:, k])
+            )
+            cols.append(shifted)
+    return jnp.stack(cols, axis=-1).astype(dtype)  # [L, S, C*n_corners]
+
+
+def _gather_rolled(rolled: jax.Array, base: jax.Array) -> jax.Array:
+    """Per-level wide-row gather: rolled [L, S, F], base [B, L] -> [B, L, F].
+
+    One ``take`` per level keeps each gather's source at one level's table
+    (32 MB) — measured ~2.5x faster than a single flat gather over the
+    concatenated [L*S, F] table (512 MB) on v5e.
+    """
+    L = rolled.shape[0]
+    vals = [jnp.take(rolled[l], base[:, l], axis=0) for l in range(L)]
+    return jnp.stack(vals, axis=1)  # [B, L, F]
+
+
+def _forward(x01, table, spec: HashGridSpec, table_dtype):
+    L, S, C = table.shape
+    n_corners = 1 << spec.input_dim
+    base, frac = base_and_frac(spec, x01)
+    w = corner_weights(spec, frac)  # [B, L, K]
+    rolled = build_rolled_table(table, spec, table_dtype)
+    vals = _gather_rolled(rolled, base)  # [B, L, C*K]
+    B = x01.shape[0]
+    vals_ck = vals.reshape(B, L, C, n_corners).astype(jnp.float32)
+    out = jnp.einsum("blk,blck->blc", w, vals_ck, precision="highest")  # [B, L, C]
+    return out.reshape(B, L * C), (base, frac, vals)
+
+
+def _backward(spec: HashGridSpec, table_dtype, shape_LSC, res, g):
+    from .bucket_matmul import bucket_grad_matmul
+
+    L, S, C = shape_LSC
+    D = spec.input_dim
+    n_corners = 1 << D
+    base, frac, vals = res
+    B = base.shape[0]
+    g = g.reshape(B, L, C).astype(jnp.float32)
+
+    # ----- grad wrt table: sort + bucket one-hot matmul (no scatter) -----
+    keys = base.T  # [L, B]
+    # Payload lanes carried through the sort: D fractional positions + C
+    # output grads (corner weights are recomputed inside the kernel —
+    # fewer lanes means a cheaper bitonic sort, measured on v5e).
+    lanes = [frac[:, :, d].T for d in range(D)] + [g[:, :, c].T for c in range(C)]
+    sorted_all = jax.lax.sort((keys, *lanes), dimension=-1, num_keys=1)
+    sk = sorted_all[0]
+    sf = jnp.stack(sorted_all[1 : 1 + D], axis=1)  # [L, D, B]
+    sg = jnp.stack(sorted_all[1 + D :], axis=1)  # [L, C, B]
+
+    grad_rolled = bucket_grad_matmul(
+        sk, sf, sg, table_size=S, input_dim=D
+    )  # [L, C*K, S]
+
+    # Inverse rolls: canonical_grad[l, j, c] = sum_k rolled_grad[l, c*K+k]
+    # rolled forward used roll(-off); its adjoint is roll(+off).
+    offs = corner_offsets(spec)  # [L, K] numpy
+    gr = grad_rolled.reshape(L, C, n_corners, S)
+    grad_table = jnp.zeros((L, S, C), jnp.float32)
+    acc = 0.0
+    for k in range(n_corners):
+        acc = acc + jax.vmap(lambda t, o: jnp.roll(t, o, axis=-1))(
+            gr[:, :, k, :], jnp.asarray(offs[:, k])
+        )  # [L, C, S]
+    grad_table = acc.transpose(0, 2, 1)  # [L, S, C]
+
+    # ----- grad wrt x01: analytic through the trilinear weights ---------
+    vals_ck = vals.reshape(B, L, C, n_corners).astype(jnp.float32)
+    dwdf = corner_weight_grads(spec, frac)  # [B, L, K, D]
+    # dout[c]/df[d] = sum_k dw_k/df_d * val[c, k]
+    gv = jnp.einsum("blc,blck->blk", g, vals_ck, precision="highest")  # [B, L, K]
+    grad_frac = jnp.einsum("blk,blkd->bld", gv, dwdf, precision="highest")  # [B, L, D]
+    scales = jnp.asarray(spec.scales)  # [L]
+    grad_x01 = jnp.sum(grad_frac * scales[None, :, None], axis=1)  # [B, D]
+
+    return grad_x01.astype(jnp.float32), grad_table.astype(jnp.float32)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def coherent_encode(
+    x01: jax.Array, table: jax.Array, spec: HashGridSpec, table_dtype=jnp.float32
+) -> jax.Array:
+    """Fast coherent hash encoding: [B, D] in [0,1] -> [B, L*C].
+
+    Forward: rolled-table wide-row gather.  Backward: deterministic
+    sort + MXU bucket-matmul (table grad) + analytic trilinear (input grad).
+    Numerics match ``coherent_encode_reference`` to the rolled-table dtype.
+    """
+    out, _ = _forward(x01, table, spec, table_dtype)
+    return out
+
+
+def _fwd(x01, table, spec, table_dtype):
+    out, res = _forward(x01, table, spec, table_dtype)
+    return out, (res, table.shape)
+
+
+def _bwd(spec, table_dtype, carry, g):
+    res, shape_LSC = carry
+    return _backward(spec, table_dtype, shape_LSC, res, g)
+
+
+coherent_encode.defvjp(_fwd, _bwd)

@@ -1,0 +1,157 @@
+"""Coherent (linear) hash encoding: oracle semantics + fast-path equivalence.
+
+The fast path (rolled-table gather forward, sort + Pallas bucket-matmul
+backward) must match the pure-jnp oracle bit-closely in both outputs and
+gradients; the Pallas kernel runs in interpret mode on the CPU test mesh.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from neuralvolumetricreconstructionformedicalimages_tpu.ops.bucket_matmul import (
+    bucket_grad_matmul,
+    bucket_grad_matmul_reference,
+)
+from neuralvolumetricreconstructionformedicalimages_tpu.ops.coherent_hash import (
+    base_and_frac,
+    coherent_encode,
+    coherent_encode_reference,
+    corner_offsets,
+    corner_weights,
+    multipliers,
+)
+from neuralvolumetricreconstructionformedicalimages_tpu.ops.hash_encoding import (
+    HashGridSpec,
+    hash_encode,
+    hash_grid_indices,
+)
+
+SPEC = HashGridSpec(num_levels=6, base_resolution=4, log2_hashmap_size=11)
+
+
+def _points(rng, n=257):
+    return jnp.asarray(rng.uniform(0, 1, (n, 3)).astype(np.float32))
+
+
+class TestCoherentSemantics:
+    def test_dense_levels_match_xor_variant(self, rng):
+        """Dense levels index identically to the reference dense layout, so
+        the coherent and XOR variants agree exactly there."""
+        x01 = _points(rng)
+        idx_xor, w_xor = hash_grid_indices(SPEC, x01)
+        base, frac = base_and_frac(SPEC, x01)
+        offs = jnp.asarray(corner_offsets(SPEC))
+        idx_coh = (base[:, :, None] + offs[None]) & (SPEC.table_size - 1)
+        w_coh = corner_weights(SPEC, frac)
+        dense = SPEC.dense_levels
+        np.testing.assert_array_equal(
+            np.asarray(idx_xor)[:, dense, :], np.asarray(idx_coh)[:, dense, :]
+        )
+        np.testing.assert_allclose(
+            np.asarray(w_xor), np.asarray(w_coh), rtol=0, atol=1e-6
+        )
+
+    def test_fully_dense_spec_equals_xor_encode(self, rng):
+        """With every level dense the two variants are the same function."""
+        spec = HashGridSpec(num_levels=3, base_resolution=2, log2_hashmap_size=11)
+        assert spec.dense_levels.all()
+        x01 = _points(rng)
+        table = spec.init(jax.random.key(0))
+        np.testing.assert_allclose(
+            np.asarray(hash_encode(x01, table, spec)),
+            np.asarray(coherent_encode_reference(x01, table, spec)),
+            rtol=0,
+            atol=1e-6,
+        )
+
+    def test_multipliers_dense_are_strides(self):
+        m = multipliers(SPEC)
+        res_p1 = SPEC.resolutions + 1
+        for l in range(SPEC.num_levels):
+            if SPEC.dense_levels[l]:
+                assert tuple(m[l]) == (1, res_p1[l], res_p1[l] ** 2)
+
+    def test_indices_in_range(self, rng):
+        base, _ = base_and_frac(SPEC, _points(rng))
+        offs = corner_offsets(SPEC)
+        idx = (np.asarray(base)[:, :, None] + offs[None]) & (SPEC.table_size - 1)
+        assert idx.min() >= 0 and idx.max() < SPEC.table_size
+
+
+class TestFastPathEquivalence:
+    def test_forward_matches_oracle(self, rng):
+        x01 = _points(rng, 333)
+        table = SPEC.init(jax.random.key(1))
+        ref = coherent_encode_reference(x01, table, SPEC)
+        fast = coherent_encode(x01, table, SPEC)
+        np.testing.assert_allclose(np.asarray(ref), np.asarray(fast), atol=1e-6)
+
+    def test_grads_match_oracle(self, rng):
+        x01 = _points(rng, 333)
+        table = SPEC.init(jax.random.key(1))
+        ct = jnp.asarray(rng.normal(size=(333, SPEC.output_dim)).astype(np.float32))
+
+        def loss(fn):
+            return lambda x, t: jnp.vdot(fn(x, t, SPEC), ct)
+
+        gx_r, gt_r = jax.grad(loss(coherent_encode_reference), (0, 1))(x01, table)
+        gx_f, gt_f = jax.grad(loss(coherent_encode), (0, 1))(x01, table)
+        np.testing.assert_allclose(np.asarray(gt_r), np.asarray(gt_f), atol=2e-5)
+        np.testing.assert_allclose(np.asarray(gx_r), np.asarray(gx_f), atol=1e-5)
+
+    def test_duplicate_heavy_points(self, rng):
+        """Many identical points stress-test skewed buckets in the backward
+        (dynamic chunk loop, no MAXLEN truncation)."""
+        x01 = jnp.concatenate(
+            [jnp.full((500, 3), 0.375, jnp.float32), _points(rng, 12)]
+        )
+        table = SPEC.init(jax.random.key(2))
+        ct = jnp.asarray(rng.normal(size=(512, SPEC.output_dim)).astype(np.float32))
+
+        def loss(fn):
+            return lambda t: jnp.vdot(fn(x01, t, SPEC), ct)
+
+        gt_r = jax.grad(loss(coherent_encode_reference))(table)
+        gt_f = jax.grad(loss(coherent_encode))(table)
+        np.testing.assert_allclose(np.asarray(gt_r), np.asarray(gt_f), atol=3e-4)
+
+    def test_jit_and_vmap(self, rng):
+        x01 = _points(rng, 64)
+        table = SPEC.init(jax.random.key(3))
+        out = jax.jit(lambda x, t: coherent_encode(x, t, SPEC))(x01, table)
+        assert out.shape == (64, SPEC.output_dim)
+
+
+class TestBucketKernel:
+    def _check(self, keys_np, rng, L=2, B=1024, S=1 << 12):
+        frac = jnp.asarray(rng.uniform(0, 1, (L, 3, B)).astype(np.float32))
+        g = jnp.asarray(rng.normal(size=(L, 2, B)).astype(np.float32))
+        keys = jnp.asarray(np.sort(keys_np, axis=-1))
+        out = bucket_grad_matmul(keys, frac, g, table_size=S, input_dim=3)
+        ref = bucket_grad_matmul_reference(keys, frac, g, table_size=S, input_dim=3)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+    def test_uniform_random_keys(self, rng):
+        self._check(rng.integers(0, 1 << 12, (2, 1024)).astype(np.int32), rng)
+
+    def test_single_bucket_skew(self, rng):
+        self._check(rng.integers(100, 120, (2, 1024)).astype(np.int32), rng)
+
+    def test_boundary_keys(self, rng):
+        keys = np.concatenate(
+            [
+                np.zeros((2, 10), np.int32),
+                np.full((2, 10), 2047, np.int32),
+                np.full((2, 10), 2048, np.int32),
+                np.full((2, 994), (1 << 12) - 1, np.int32),
+            ],
+            axis=-1,
+        )
+        self._check(keys, rng)
+
+    def test_empty_levels(self, rng):
+        """All keys at one index; other buckets must come out zero."""
+        keys = np.full((2, 1024), 5, np.int32)
+        self._check(keys, rng)
