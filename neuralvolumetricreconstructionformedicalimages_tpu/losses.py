@@ -194,3 +194,88 @@ def calc_l1_loss(loss, x, y):
     loss["loss"] = loss.get("loss", 0.0) + l
     loss["loss_l1"] = l
     return loss
+
+
+# --------------------------------------------------------------------------
+# Config-driven loss selection (cfg["train"]["loss"])
+# --------------------------------------------------------------------------
+#
+# The reference ships ~14 calculators but hardwires calc_mse_loss in its
+# shipped training path (train.py:127).  Here every per-ray calculator is
+# reachable from the config: ``train.loss`` names a primary term,
+# optionally composed with additive regularizers via ``+``, e.g.
+# ``"mse"``, ``"huber"``, ``"mse+small"``, ``"l1+tv"``.
+#
+# Masking: the reference selects rays with boolean indexing before the
+# loss (train.py:95-127); the static-shaped equivalent is a mask-weighted
+# mean of the elementwise loss — identical estimator for every
+# elementwise primary below.
+
+def _wmean(per_elem, mask):
+    if mask is None:
+        return jnp.mean(per_elem)
+    m = mask.astype(per_elem.dtype)
+    return jnp.sum(per_elem * m) / jnp.maximum(jnp.sum(m), 1.0)
+
+
+def _phase01(x):
+    return (jnp.angle(x) + jnp.pi) / (2 * jnp.pi)
+
+
+_PRIMARY_LOSSES = {
+    # name -> (per-element loss(pred, target), component key)
+    "mse": (lambda p, t: (t - p) ** 2, "loss_mse"),
+    "l1": (lambda p, t: jnp.abs(p - t), "loss_l1"),
+    "huber": (
+        lambda p, t: jnp.where(
+            jnp.abs(p - t) <= 1.0, 0.5 * (p - t) ** 2, jnp.abs(p - t) - 0.5
+        ),
+        "loss_huber",
+    ),
+    "hinge": (lambda p, t: jnp.clip(1 - p * t, min=0), "loss_hinge"),
+    "phase": (lambda p, t: (_phase01(p) - _phase01(t)) ** 2, "phase_loss"),
+}
+
+_REGULARIZERS = {
+    # name -> term(pred, target, aux); weights follow the reference defaults
+    "small": lambda p, t, aux: jnp.mean(p**2),               # loss.py:183-194
+    "zero": lambda p, t, aux: jnp.mean(                      # loss.py:166-180
+        (jnp.abs(t) <= 1e-5).astype(p.dtype) * p**2),
+    "tv": lambda p, t, aux: aux.get("tv_loss", 0.0),         # render.py:129-131
+}
+
+
+def get_loss_fn(name: str = "mse"):
+    """Build the training loss named by ``cfg["train"]["loss"]``.
+
+    Returns ``fn(pred, target, mask=None, aux=None) -> (loss, components)``
+    where ``components`` maps reference loss-dict keys to scalars (the
+    reference logs each key to TensorBoard, train.py:132-133).
+    """
+    parts = [p.strip().lower() for p in str(name or "mse").split("+") if p.strip()]
+    if not parts:
+        parts = ["mse"]
+    primary, regs = parts[0], parts[1:]
+    if primary in ("masked_mse", "mse_mask"):
+        primary = "mse"  # masking is orthogonal (applied via the mask arg)
+    if primary not in _PRIMARY_LOSSES:
+        raise NotImplementedError(
+            f"Unknown loss {primary!r}; choose from {sorted(_PRIMARY_LOSSES)}")
+    for r in regs:
+        if r not in _REGULARIZERS:
+            raise NotImplementedError(
+                f"Unknown loss regularizer {r!r}; choose from {sorted(_REGULARIZERS)}")
+    per_elem, comp_key = _PRIMARY_LOSSES[primary]
+
+    def fn(pred, target, mask=None, aux=None):
+        aux = aux or {}
+        total = _wmean(per_elem(pred, target), mask)
+        components = {comp_key: total}
+        for r in regs:
+            term = _REGULARIZERS[r](pred, target, aux)
+            components[f"loss_{r}"] = term
+            total = total + term
+        components["loss"] = total
+        return total, components
+
+    return fn

@@ -86,8 +86,10 @@ def initialize_multihost(
     slice and a mesh built by :func:`make_mesh` places the ``data`` axis
     over ICI within a slice and DCN across slices.
     """
-    if jax.process_count() > 1:
-        return  # already initialized
+    # Idempotence check must NOT touch the backend (jax.process_count()
+    # would initialize it, defeating the call-first contract).
+    if jax.distributed.is_initialized():
+        return
     kwargs = {}
     if coordinator_address is not None:
         kwargs.update(

@@ -196,6 +196,11 @@ def make_sharded_train_step(cfg: Dict[str, Any], spec: DensityFieldSpec,
         body, mesh=mesh,
         in_specs=(P(), P(), P(), P()),
         out_specs=(P(), P()),
+        # The Pallas bucket-matmul in the encoder backward cannot declare
+        # per-axis variance (ShapeDtypeStruct.vma), which the VMA checker
+        # requires inside shard_map; the psum axes above are written out
+        # explicitly, so the checker is redundant here.
+        check_vma=False,
     )
     return jax.jit(sharded, donate_argnums=(0,))
 
@@ -229,5 +234,6 @@ def make_sharded_epoch_fn(cfg: Dict[str, Any], spec: DensityFieldSpec,
         epoch, mesh=mesh,
         in_specs=(P(), P(), P(), P()),
         out_specs=(P(), P()),
+        check_vma=False,  # see make_sharded_train_step
     )
     return jax.jit(sharded, donate_argnums=(0,))

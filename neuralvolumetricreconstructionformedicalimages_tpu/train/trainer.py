@@ -37,7 +37,7 @@ import optax
 from .. import geometry as G
 from ..config import with_defaults
 from ..data.dataset import ProjectionDataset, gather_view_batch, load_dataset
-from ..losses import masked_mse
+from ..losses import get_loss_fn
 from ..metrics import (
     cast_to_image,
     get_mse,
@@ -59,10 +59,7 @@ from .optim import make_lr_schedule, make_optimizer
 def build_model(cfg: Dict[str, Any]):
     """Network + encoder from the config schema (src/trainer.py:43-51)."""
     enc_cfg = dict(cfg["encoder"])
-    enc = get_encoder(
-        use_pallas=bool(cfg.get("render", {}).get("use_pallas", False)),
-        **enc_cfg,
-    )
+    enc = get_encoder(**enc_cfg)
     net_cfg = dict(cfg["network"])
     net_type = net_cfg.pop("net_type", "mlp")
     net_cfg["skips"] = tuple(net_cfg.get("skips", (4,)))
@@ -100,6 +97,7 @@ def make_epoch_fn(cfg: Dict[str, Any], spec, steps_per_epoch: int,
     raw_noise_std = float(render_cfg["raw_noise_std"])
     opt = make_optimizer(cfg, steps_per_epoch)
     has_fine = n_fine > 0
+    loss_calc = get_loss_fn(cfg["train"].get("loss", "mse"))
 
     def loss_fn(params, batch, key):
         out = render_rays(
@@ -110,9 +108,11 @@ def make_epoch_fn(cfg: Dict[str, Any], spec, steps_per_epoch: int,
             spec_fine=spec if has_fine else None,
         )
         mask = batch["mask"] if use_mask else None
-        loss = masked_mse(out["acc"], batch["projs"], mask)
+        aux = {"tv_loss": out["tv_loss"]}
+        loss, _ = loss_calc(out["acc"], batch["projs"], mask, aux)
         if has_fine:
-            loss = loss + masked_mse(out["acc0"], batch["projs"], mask)
+            loss0, _ = loss_calc(out["acc0"], batch["projs"], mask, aux)
+            loss = loss + loss0
         return loss
 
     def train_step(state, arrays, views, key):
@@ -207,13 +207,7 @@ class Trainer:
         self._epoch_fn = make_epoch_fn(
             cfg, self.spec, self.steps_per_epoch, self.n_rays, self.n_batch,
             self.use_mask)
-        self._arrays = {
-            "rays": self.train_dset.rays,
-            "projs": self.train_dset.projs,
-            "mask": self.train_dset.mask,
-            "pools": self.train_dset.pools,
-            "pool_counts": self.train_dset.pool_counts,
-        }
+        self._arrays = self.train_dset.arrays()
 
     # -- persistence -----------------------------------------------------
     def save(self, epoch: int) -> None:
@@ -294,11 +288,20 @@ class Trainer:
 
     # -- eval ------------------------------------------------------------
     def eval_step(self, global_step: int, idx_epoch: int) -> Dict[str, float]:
-        """Eval parity with train.py:220-288."""
+        """Eval parity with train.py:220-288 (and the masked variant
+        ``eval_stepMASK``, train.py:138-218, when ``log.eval_mask`` is on).
+
+        Projections are compared in complex64 like the reference
+        (train.py:227-229) — a no-op for real data, and the complex-aware
+        metrics handle measured phase stacks.  With ``eval_mask`` the beam
+        mask (threshold 0.007 ptycho mask from ``full_proj``, train.py:60)
+        multiplies both gt and prediction before the metrics — the
+        laminography variant the reference sketches at train.py:163-165.
+        """
         dset = self.eval_dset
         assert dset is not None
         sel = int(np.random.default_rng(idx_epoch).integers(dset.n_views))
-        projs_gt = np.asarray(dset.projs[sel])
+        projs_gt = np.asarray(dset.projs[sel]).astype(np.complex64)
         H, W = projs_gt.shape
         rays = dset.rays[sel].reshape(-1, 8)
 
@@ -314,7 +317,12 @@ class Trainer:
             n_fine=self.n_fine,
             params_fine=fine, spec_fine=self.spec if self.n_fine > 0 else None,
         )
-        projs_pred = np.asarray(acc).reshape(H, W)
+        projs_pred = np.asarray(acc).reshape(H, W).astype(np.complex64)
+
+        if bool(self.cfg["log"].get("eval_mask", False)):
+            beam_mask = np.asarray(dset.mask[sel]).astype(np.complex64)
+            projs_gt = projs_gt * beam_mask
+            projs_pred = projs_pred * beam_mask
 
         image_gt = np.asarray(dset.image) if dset.image is not None else None
         metrics: Dict[str, float] = {
