@@ -187,11 +187,14 @@ def build_rolled_table(
     L, S, C = table.shape
     n_corners = 1 << spec.input_dim
     offs = corner_offsets(spec)  # [L, n_corners] numpy
+    # Static per-level shifts: jnp.roll with a Python int lowers to two
+    # static slices + concat; a traced shift under vmap lowers to a
+    # dynamic gather that costs minutes of XLA compile time at 2^19.
     cols = []
     for c in range(C):
         for k in range(n_corners):
-            shifted = jax.vmap(lambda t, o: jnp.roll(t, -o, axis=0))(
-                table[..., c], jnp.asarray(offs[:, k])
+            shifted = jnp.stack(
+                [jnp.roll(table[l, :, c], -int(offs[l, k])) for l in range(L)]
             )
             cols.append(shifted)
     return jnp.stack(cols, axis=-1).astype(dtype)  # [L, S, C*n_corners]
@@ -251,11 +254,11 @@ def _backward(spec: HashGridSpec, table_dtype, shape_LSC, res, g):
     # rolled forward used roll(-off); its adjoint is roll(+off).
     offs = corner_offsets(spec)  # [L, K] numpy
     gr = grad_rolled.reshape(L, C, n_corners, S)
-    grad_table = jnp.zeros((L, S, C), jnp.float32)
     acc = 0.0
-    for k in range(n_corners):
-        acc = acc + jax.vmap(lambda t, o: jnp.roll(t, o, axis=-1))(
-            gr[:, :, k, :], jnp.asarray(offs[:, k])
+    for k in range(n_corners):  # static shifts (see build_rolled_table)
+        acc = acc + jnp.stack(
+            [jnp.roll(gr[l, :, k, :], int(offs[l, k]), axis=-1)
+             for l in range(L)]
         )  # [L, C, S]
     grad_table = acc.transpose(0, 2, 1)  # [L, S, C]
 
