@@ -29,6 +29,7 @@ _TPU_DEFAULTS: Dict[str, Dict[str, Any]] = {
     "encoder": {
         "hash_variant": "coherent",  # "coherent" (TPU-fast) | "xor" (reference-exact)
         "fast": True,                # rolled-gather + Pallas bucket-matmul path
+        "backward": "bucket",        # "bucket" (Pallas) | "take" (pure-XLA fallback)
     },
     "train": {
         "seed": 42,

@@ -57,6 +57,10 @@ class HashEncoderSpec(EncoderSpec):
     grid: HashGridSpec = HashGridSpec()
     hash_variant: str = "coherent"
     fast: bool = True
+    # "bucket": custom_vjp sort + Pallas bucket-matmul backward (fastest).
+    # "take": plain autodiff over the rolled-table gather (pure XLA, no
+    # Pallas) — conservative fallback, ~wide-row scatter backward.
+    backward: str = "bucket"
 
     @property
     def output_dim(self) -> int:
@@ -66,7 +70,11 @@ class HashEncoderSpec(EncoderSpec):
         return {"table": self.grid.init(key, dtype=dtype)}
 
     def apply(self, params, x, bound: float):
-        from ..ops.coherent_hash import coherent_encode, coherent_encode_reference
+        from ..ops.coherent_hash import (
+            coherent_encode,
+            coherent_encode_reference,
+            coherent_encode_takevjp,
+        )
 
         x01 = jnp.clip((x + bound) / (2.0 * bound), 0.0, 1.0)
         prefix = x01.shape[:-1]
@@ -77,8 +85,10 @@ class HashEncoderSpec(EncoderSpec):
             # The bucket kernel needs the table length to tile into
             # 2048-wide buckets; tiny test tables use the oracle path.
             fast = self.fast and self.grid.table_size % 2048 == 0
-            if fast:
+            if fast and self.backward == "bucket":
                 out = coherent_encode(x01, params["table"], self.grid)
+            elif fast and self.backward == "take":
+                out = coherent_encode_takevjp(x01, params["table"], self.grid)
             else:
                 out = coherent_encode_reference(x01, params["table"], self.grid)
         else:
@@ -153,6 +163,7 @@ def get_encoder(
     log2_hashmap_size: int = 19,
     hash_variant: str = "coherent",
     fast: bool = True,
+    backward: str = "bucket",
     **kwargs,
 ) -> EncoderSpec:
     """Encoder factory mirroring ``src/encoder/__init__.py:5-25``."""
@@ -173,5 +184,6 @@ def get_encoder(
             ),
             hash_variant=hash_variant,
             fast=fast,
+            backward=backward,
         )
     raise NotImplementedError(f"Unknown encoding {encoding!r}")

@@ -274,6 +274,21 @@ def _backward(spec: HashGridSpec, table_dtype, shape_LSC, res, g):
     return grad_x01.astype(jnp.float32), grad_table.astype(jnp.float32)
 
 
+def coherent_encode_takevjp(
+    x01: jax.Array, table: jax.Array, spec: HashGridSpec, table_dtype=jnp.float32
+) -> jax.Array:
+    """Rolled-table forward with plain autodiff backward (no Pallas).
+
+    Same forward as ``coherent_encode`` but built from differentiable ops
+    only, so the backward is XLA's VJP chain: einsum-grad -> ``jnp.take``
+    scatter-add of the 3.1M *wide* rows (one per (point, level), ~10x fewer
+    than the narrow path) -> static-roll adjoints.  Slower than the bucket
+    kernel but entirely XLA — the conservative fallback path.
+    """
+    out, _ = _forward(x01, table, spec, table_dtype)
+    return out
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
 def coherent_encode(
     x01: jax.Array, table: jax.Array, spec: HashGridSpec, table_dtype=jnp.float32

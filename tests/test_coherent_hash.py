@@ -18,6 +18,7 @@ from neuralvolumetricreconstructionformedicalimages_tpu.ops.coherent_hash import
     base_and_frac,
     coherent_encode,
     coherent_encode_reference,
+    coherent_encode_takevjp,
     corner_offsets,
     corner_weights,
     multipliers,
@@ -98,6 +99,25 @@ class TestFastPathEquivalence:
 
         gx_r, gt_r = jax.grad(loss(coherent_encode_reference), (0, 1))(x01, table)
         gx_f, gt_f = jax.grad(loss(coherent_encode), (0, 1))(x01, table)
+        np.testing.assert_allclose(np.asarray(gt_r), np.asarray(gt_f), atol=2e-5)
+        np.testing.assert_allclose(np.asarray(gx_r), np.asarray(gx_f), atol=1e-5)
+
+    def test_takevjp_fallback_matches_oracle(self, rng):
+        """The pure-XLA fallback backward (autodiff through the rolled
+        gather) is numerically the same encoder as the bucket-kernel path."""
+        x01 = _points(rng, 333)
+        table = SPEC.init(jax.random.key(1))
+        ct = jnp.asarray(rng.normal(size=(333, SPEC.output_dim)).astype(np.float32))
+
+        ref = coherent_encode_reference(x01, table, SPEC)
+        fast = coherent_encode_takevjp(x01, table, SPEC)
+        np.testing.assert_allclose(np.asarray(ref), np.asarray(fast), atol=1e-6)
+
+        def loss(fn):
+            return lambda x, t: jnp.vdot(fn(x, t, SPEC), ct)
+
+        gx_r, gt_r = jax.grad(loss(coherent_encode_reference), (0, 1))(x01, table)
+        gx_f, gt_f = jax.grad(loss(coherent_encode_takevjp), (0, 1))(x01, table)
         np.testing.assert_allclose(np.asarray(gt_r), np.asarray(gt_f), atol=2e-5)
         np.testing.assert_allclose(np.asarray(gx_r), np.asarray(gx_f), atol=1e-5)
 
