@@ -8,17 +8,26 @@ backward through the hash encoder, gradient update — exactly what the
 reference's ``train_step`` (src/trainer.py:134-142) does one step at a
 time.
 
-Robustness (the round-1 bench timed out and wedged the TPU worker —
-docs/microbench_r2.md "Operational"):
+Architecture (round-3 redesign; rounds 1/2 recorded 0.0 because a wedged
+TPU worker hung the in-process pre-check and the SIGALRM ``os._exit``
+fired mid-dispatch — the documented wedge *trigger*, docs/microbench_r2.md
+"Operational"):
 
-- every timed block is SHORT (4 steps) and preceded by a progress print
-  (stderr), so the driver always captures evidence of where we are;
-- a staged fallback: a small-table stage runs first and publishes a valid
-  JSON result; the full chest-scale stage then refines it — if the big
-  stage dies, the small-stage number still lands;
-- an in-process SIGALRM watchdog prints the best JSON so far and exits —
-  the process is never killed externally while blocked on the device
-  (which is what wedges the TPU worker).
+- The PARENT process never imports jax and never touches the device.  It
+  only spawns stage subprocesses, waits on them with deadlines, collects
+  their JSON, and always prints the one-line result.  It cannot hang.
+- Each STAGE runs in its own subprocess (``bench.py --stage NAME``) with
+  an *internal* wall-clock deadline checked BETWEEN device dispatches —
+  when healthy it always exits cleanly on its own; it is never interrupted
+  mid-dispatch.  Individual dispatches are short (a 2-4 step scanned
+  block, <1 s at round-2 speed).
+- Stage order escalates: ``tiny`` (2^13 table, seconds-scale, retried if
+  the worker is still waking up) publishes a valid number first;
+  ``small`` (2^15, bucket backward) refines; ``chest`` (full 2^19 scale)
+  gets the remaining budget.  If any stage must be killed (wedged chip),
+  the remaining stages are SKIPPED and the best number so far is
+  published — killing a hung client cannot un-wedge the worker, so there
+  is no point dispatching more.
 
 Baseline for ``vs_baseline``: the reference publishes no numbers
 (BASELINE.md), so we ESTIMATE from the NAF paper's single-RTX-3090
@@ -33,45 +42,39 @@ from __future__ import annotations
 
 import json
 import os
-import signal
+import subprocess
 import sys
 import time
 
-WATCHDOG_S = 420          # global in-process deadline
 REFERENCE_RAYS_PER_S = 85_000.0  # estimate; see module docstring
+
+TOTAL_BUDGET_S = float(os.environ.get("NVR_BENCH_BUDGET_S", 420))
+RESERVE_S = 15          # parent time reserved for publishing at the end
+KILL_GRACE_S = 20       # extra wait past a child's internal deadline
 
 N_RAYS = 1024
 N_SAMPLES = 192
-STEPS_PER_BLOCK = 4       # short blocks: always completes (VERDICT r1 #1a)
-N_BLOCKS = 3
 N_VIEWS, H, W = 50, 256, 256
 
-_best = None  # last successful stage's JSON dict
+# name -> (log2_hashmap_size, backward, n_samples, steps_per_block,
+#          max_blocks, stage_budget_s, retries)
+STAGES = {
+    "tiny": (13, "take", 64, 2, 2, 120.0, 3),
+    "small": (15, "bucket", N_SAMPLES, 4, 2, 110.0, 1),
+    "chest": (19, "bucket", N_SAMPLES, 4, 3, 1e9, 1),  # gets the rest
+}
 
 
 def _progress(msg: str) -> None:
     print(f"[bench] {time.strftime('%H:%M:%S')} {msg}", file=sys.stderr, flush=True)
 
 
-def _publish_and_exit(code: int = 0) -> None:
-    if _best is not None:
-        print(json.dumps(_best), flush=True)
-    else:
-        print(json.dumps({
-            "metric": "train_rays_per_s_per_chip", "value": 0.0,
-            "unit": "rays/s (fwd+bwd+adam, 192 samples/ray)",
-            "vs_baseline": 0.0, "error": "no stage completed",
-        }), flush=True)
-    os._exit(code)
-
-
-def _on_alarm(signum, frame):
-    _progress("WATCHDOG fired — publishing best result so far")
-    _publish_and_exit(0)
-
+# ---------------------------------------------------------------------------
+# Stage subprocess
+# ---------------------------------------------------------------------------
 
 def build_workload(log2_hashmap_size: int, n_samples: int, steps: int,
-                   backward: str = "bucket"):
+                   backward: str):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -129,63 +132,98 @@ def _fence(state, losses) -> float:
     return tail
 
 
-def run_stage(name: str, log2_hashmap_size: int, backward: str = "bucket") -> float:
-    """Time N_BLOCKS short scanned blocks; return best rays/s."""
+def child_main(stage: str, deadline_s: float) -> None:
+    """Run one stage; print a JSON line {"stage", "rate"} and exit.
+
+    The deadline is checked between dispatches only — this process never
+    interrupts an in-flight device call on its own.
+    """
+    t_end = time.time() + deadline_s
+    log2_s, backward, n_samples, steps, max_blocks, _, _ = STAGES[stage]
+
     import jax
 
-    _progress(f"stage {name}: building workload (2^{log2_hashmap_size} table, "
-              f"{backward} backward)")
-    epoch_fn, state, arrays, view_order = build_workload(
-        log2_hashmap_size, N_SAMPLES, STEPS_PER_BLOCK, backward)
-
-    _progress(f"stage {name}: compiling + warmup block")
-    state, losses = epoch_fn(state, arrays, view_order, jax.random.key(10))
-    _fence(state, losses)
-
-    times = []
-    for i in range(N_BLOCKS):
-        _progress(f"stage {name}: timed block {i + 1}/{N_BLOCKS}")
-        t0 = time.perf_counter()
-        state, losses = epoch_fn(state, arrays, view_order, jax.random.key(20 + i))
-        _fence(state, losses)
-        times.append(time.perf_counter() - t0)
-
-    best = min(times)
-    rate = STEPS_PER_BLOCK * N_RAYS / best
-    _progress(f"stage {name}: block times {['%.3fs' % t for t in times]}"
-              f" -> {rate:,.0f} rays/s")
-    return rate
-
-
-def main():
-    global _best
-    signal.signal(signal.SIGALRM, _on_alarm)
-    signal.alarm(WATCHDOG_S)
-
-    # Persistent compilation cache: if a prior run (or warmup) compiled the
-    # same stages, the driver's timed invocation skips straight to execute.
     try:
-        import jax
-
         jax.config.update("jax_compilation_cache_dir", "/tmp/nvr_jax_cache")
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception as exc:  # noqa: BLE001
         _progress(f"compilation cache unavailable: {exc!r}")
 
-    # Device responsiveness pre-check (a wedged remote worker blocks every
-    # dispatch; docs/microbench_r2.md "Operational").
-    import time as _time
+    _progress(f"stage {stage}: building workload (2^{log2_s} table, "
+              f"{backward} backward, {n_samples} samples)")
+    epoch_fn, state, arrays, view_order = build_workload(
+        log2_s, n_samples, steps, backward)
 
-    import jax.numpy as jnp
+    _progress(f"stage {stage}: compiling + warmup block")
+    t0 = time.perf_counter()
+    state, losses = epoch_fn(state, arrays, view_order, jax.random.key(10))
+    _fence(state, losses)
+    warm_t = time.perf_counter() - t0
+    _progress(f"stage {stage}: warmup done in {warm_t:.1f}s")
 
-    _progress("device pre-check (trivial dispatch)")
-    t0 = _time.perf_counter()
-    float((jnp.ones((8,)) + 1).sum())
-    _progress(f"device responsive in {_time.perf_counter() - t0:.1f}s")
+    times = []
+    for i in range(max_blocks):
+        # Always run at least one timed block; afterwards stop if the next
+        # block (sized by the last) would cross the deadline.
+        if times and time.time() + 2.0 * times[-1] + 2.0 > t_end:
+            _progress(f"stage {stage}: deadline near — stopping after "
+                      f"{len(times)} blocks")
+            break
+        t0 = time.perf_counter()
+        state, losses = epoch_fn(state, arrays, view_order, jax.random.key(20 + i))
+        _fence(state, losses)
+        times.append(time.perf_counter() - t0)
+        _progress(f"stage {stage}: block {i + 1}: {times[-1]:.3f}s")
+
+    best = min(times) if times else warm_t
+    rate = steps * N_RAYS / best
+    _progress(f"stage {stage}: -> {rate:,.0f} rays/s")
+    print(json.dumps({"stage": stage, "rate": rate}), flush=True)
+
+
+# ---------------------------------------------------------------------------
+# Parent orchestrator (dispatch-free)
+# ---------------------------------------------------------------------------
+
+def _run_stage(stage: str, budget_s: float):
+    """Spawn the stage subprocess; return (rate | None, timed_out: bool)."""
+    child_deadline = max(20.0, budget_s - KILL_GRACE_S)
+    proc = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__),
+         "--stage", stage, "--deadline", str(child_deadline)],
+        stdout=subprocess.PIPE, stderr=sys.stderr,
+        cwd=os.path.dirname(os.path.abspath(__file__)) or ".",
+        text=True, start_new_session=True,
+    )
+    try:
+        out, _ = proc.communicate(timeout=budget_s)
+    except subprocess.TimeoutExpired:
+        _progress(f"stage {stage}: exceeded {budget_s:.0f}s incl. grace — "
+                  "worker presumed wedged; killing child and skipping "
+                  "remaining stages")
+        try:
+            os.killpg(proc.pid, 9)
+        except Exception:  # noqa: BLE001
+            proc.kill()
+        proc.wait()
+        return None, True
+    for line in reversed(out.strip().splitlines()):
+        try:
+            rec = json.loads(line)
+            if "rate" in rec:
+                return float(rec["rate"]), False
+        except (json.JSONDecodeError, ValueError):
+            continue
+    return None, False
+
+
+def parent_main() -> None:
+    t_hard_end = time.time() + TOTAL_BUDGET_S - RESERVE_S
+    best = None
 
     def record(rate: float, note: str) -> None:
-        global _best
-        _best = {
+        nonlocal best
+        best = {
             "metric": "train_rays_per_s_per_chip",
             "value": round(rate, 1),
             "unit": "rays/s (fwd+bwd+adam, 192 samples/ray)",
@@ -194,32 +232,61 @@ def main():
             "note": note,
         }
 
-    # Stage 1 — small table (2^15), pure-XLA take-VJP backward: the most
-    # conservative full-train-step graph (no Pallas); guarantees a parsed
-    # result even if later stages cannot finish.
-    try:
-        rate = run_stage("small-take", log2_hashmap_size=15, backward="take")
-        record(rate, "FALLBACK small 2^15 table, take-VJP backward")
-    except Exception as exc:  # noqa: BLE001
-        _progress(f"stage small-take failed: {exc!r}")
+    notes = {
+        "tiny": "FALLBACK tiny 2^13 table, 64 samples, take-VJP backward",
+        "small": "FALLBACK small 2^15 table, bucket-kernel backward",
+        "chest": "chest_50 scale (16x2^19x2 table), bucket-kernel backward",
+    }
 
-    # Stage 2 — small table, Pallas bucket-matmul backward.
-    try:
-        rate = run_stage("small-bucket", log2_hashmap_size=15, backward="bucket")
-        record(rate, "FALLBACK small 2^15 table, bucket-kernel backward")
-    except Exception as exc:  # noqa: BLE001
-        _progress(f"stage small-bucket failed: {exc!r}")
+    wedged = False
+    for stage, spec in STAGES.items():
+        stage_budget, retries = spec[5], spec[6]
+        got = False
+        for attempt in range(retries):
+            remaining = t_hard_end - time.time()
+            budget = min(stage_budget, remaining)
+            if budget < 45:
+                _progress(f"stage {stage}: only {remaining:.0f}s left — skipping")
+                break
+            _progress(f"stage {stage}: attempt {attempt + 1}/{retries} "
+                      f"(budget {budget:.0f}s)")
+            rate, timed_out = _run_stage(stage, budget)
+            if rate is not None:
+                record(rate, notes[stage])
+                got = True
+                break
+            # Timed-out "tiny" attempts are retried (a wedged worker can
+            # recover mid-bench); a timeout on any LATER stage means the
+            # worker wedged after being healthy — stop dispatching.
+            if timed_out and stage != "tiny":
+                wedged = True
+                break
+            time.sleep(min(15.0, max(0.0, t_hard_end - time.time() - 45)))
+        if wedged:
+            break
+        if stage == "tiny" and not got:
+            _progress("tiny stage never completed — worker unhealthy; "
+                      "skipping remaining stages")
+            break
 
-    # Stage 3 — full chest_50 scale (2^19 table, 16.8M params).
-    try:
-        rate = run_stage("chest", log2_hashmap_size=19, backward="bucket")
-        record(rate, "chest_50 scale (16x2^19x2 table)")
-    except Exception as exc:  # noqa: BLE001
-        _progress(f"stage chest failed: {exc!r}")
-
-    signal.alarm(0)
-    _publish_and_exit(0 if _best is not None else 1)
+    if best is not None:
+        print(json.dumps(best), flush=True)
+        sys.exit(0)
+    print(json.dumps({
+        "metric": "train_rays_per_s_per_chip", "value": 0.0,
+        "unit": "rays/s (fwd+bwd+adam, 192 samples/ray)",
+        "vs_baseline": 0.0,
+        "error": "no stage completed (TPU worker wedged)" if wedged
+                 else "no stage completed",
+    }), flush=True)
+    sys.exit(1)
 
 
 if __name__ == "__main__":
-    main()
+    if "--stage" in sys.argv:
+        i = sys.argv.index("--stage")
+        stage = sys.argv[i + 1]
+        j = sys.argv.index("--deadline")
+        child_main(stage, float(sys.argv[j + 1]))
+    else:
+        parent_main()
