@@ -22,8 +22,10 @@ import yaml
 _TPU_DEFAULTS: Dict[str, Dict[str, Any]] = {
     "parallel": {
         "mesh": None,          # e.g. {"data": 4, "sample": 2}; None = single device
-        "param_dtype": "float32",
+        # MXU input dtype for the MLP matmuls (f32 accumulate); see
+        # models/density_field.py.  Params and optimizer state stay f32.
         "compute_dtype": "float32",
+        # dtype of the rolled gather table; see models/encoders.py.
         "table_dtype": "float32",
     },
     "encoder": {

@@ -52,6 +52,10 @@ class DensityFieldSpec:
     skips: Tuple[int, ...] = (4,)
     out_dim: int = 1
     last_activation: str = "sigmoid"
+    # MXU input dtype for the MLP matmuls ("float32" | "bfloat16").
+    # bfloat16 feeds the systolic array at full rate with f32 accumulation
+    # (``preferred_element_type``); params/activations stay float32.
+    compute_dtype: str = "float32"
 
     @property
     def layer_dims(self) -> Sequence[Tuple[int, int]]:
@@ -76,16 +80,24 @@ class DensityFieldSpec:
             layers.append({"w": w, "b": b})
         return {"encoder": enc_params, "layers": layers}
 
+    def freeze(self, params):
+        """Eval-time params (prebuilt encoder tables; see encoders.freeze)."""
+        return dict(params, encoder=self.encoder.freeze(params["encoder"]))
+
     def apply(self, params, x):
         """x: [..., input_dim] world positions -> [..., out_dim]."""
         h = self.encoder.apply(params["encoder"], x, self.bound)
         input_pts = h
         act = _last_activation(self.last_activation)
+        cd = jnp.bfloat16 if self.compute_dtype == "bfloat16" else jnp.float32
         n = len(params["layers"])
         for i, layer in enumerate(params["layers"]):
             if i in self.skips:
                 h = jnp.concatenate([input_pts, h], axis=-1)
-            h = h @ layer["w"] + layer["b"]
+            h = jnp.matmul(
+                h.astype(cd), layer["w"].astype(cd),
+                preferred_element_type=jnp.float32,
+            ) + layer["b"]
             if i < n - 1:
                 h = jax.nn.leaky_relu(h, _LEAKY_SLOPE)
             else:

@@ -33,6 +33,10 @@ class EncoderSpec:
     def apply(self, params, x, bound: float):  # pragma: no cover - interface
         raise NotImplementedError
 
+    def freeze(self, params):
+        """Eval-time param preprocessing (default: no-op)."""
+        return params
+
 
 @dataclasses.dataclass(frozen=True)
 class HashEncoderSpec(EncoderSpec):
@@ -61,17 +65,54 @@ class HashEncoderSpec(EncoderSpec):
     # "take": plain autodiff over the rolled-table gather (pure XLA, no
     # Pallas) — conservative fallback, ~wide-row scatter backward.
     backward: str = "bucket"
+    # dtype of the rolled gather table ("float32" | "bfloat16").  bfloat16
+    # halves the per-step rolled-table build traffic and the gather reads
+    # (and measured slightly faster on v5e, docs/microbench_r2.md); the
+    # canonical table, gradients and Adam state stay float32.
+    table_dtype: str = "float32"
+
+    def __post_init__(self):
+        if self.backward not in ("bucket", "take"):
+            raise ValueError(
+                f"backward must be 'bucket' or 'take', got {self.backward!r}"
+            )
+        if self.table_dtype not in ("float32", "bfloat16"):
+            raise ValueError(
+                f"table_dtype must be 'float32' or 'bfloat16', "
+                f"got {self.table_dtype!r}"
+            )
 
     @property
     def output_dim(self) -> int:
         return self.grid.output_dim
 
+    @property
+    def _table_dtype(self):
+        return jnp.bfloat16 if self.table_dtype == "bfloat16" else jnp.float32
+
     def init(self, key, dtype=jnp.float32):
         return {"table": self.grid.init(key, dtype=dtype)}
+
+    def freeze(self, params):
+        """Eval-time params: prebuild the rolled gather table ONCE.
+
+        ``apply`` then uses the forward-only prebuilt path — the eval
+        tiling loops (``render_image``/``query_field`` under ``lax.map``)
+        no longer re-materialize the rolled table per tile.  Only valid
+        while the canonical table is frozen (no gradients flow).
+        """
+        from ..ops.coherent_hash import build_rolled_table
+
+        if self.hash_variant == "coherent" and self.fast:
+            rolled = build_rolled_table(
+                params["table"], self.grid, self._table_dtype)
+            return dict(params, rolled=rolled)
+        return params
 
     def apply(self, params, x, bound: float):
         from ..ops.coherent_hash import (
             coherent_encode,
+            coherent_encode_prebuilt,
             coherent_encode_reference,
             coherent_encode_takevjp,
         )
@@ -82,13 +123,17 @@ class HashEncoderSpec(EncoderSpec):
         if self.hash_variant == "xor":
             out = hash_encode(x01, params["table"], self.grid)
         elif self.hash_variant == "coherent":
-            # The bucket kernel needs the table length to tile into
-            # 2048-wide buckets; tiny test tables use the oracle path.
-            fast = self.fast and self.grid.table_size % 2048 == 0
-            if fast and self.backward == "bucket":
-                out = coherent_encode(x01, params["table"], self.grid)
-            elif fast and self.backward == "take":
-                out = coherent_encode_takevjp(x01, params["table"], self.grid)
+            if "rolled" in params:  # frozen eval params (see ``freeze``)
+                out = coherent_encode_prebuilt(x01, params["rolled"], self.grid)
+            elif self.fast and self.backward == "take":
+                # Pure-XLA path; works for any table size.
+                out = coherent_encode_takevjp(
+                    x01, params["table"], self.grid, self._table_dtype)
+            elif self.fast and self.grid.table_size % 2048 == 0:
+                # The bucket kernel tiles the table into 2048-wide
+                # buckets; tiny test tables use the oracle path below.
+                out = coherent_encode(
+                    x01, params["table"], self.grid, self._table_dtype)
             else:
                 out = coherent_encode_reference(x01, params["table"], self.grid)
         else:
@@ -164,6 +209,7 @@ def get_encoder(
     hash_variant: str = "coherent",
     fast: bool = True,
     backward: str = "bucket",
+    table_dtype: str = "float32",
     **kwargs,
 ) -> EncoderSpec:
     """Encoder factory mirroring ``src/encoder/__init__.py:5-25``."""
@@ -185,5 +231,6 @@ def get_encoder(
             hash_variant=hash_variant,
             fast=fast,
             backward=backward,
+            table_dtype=table_dtype,
         )
     raise NotImplementedError(f"Unknown encoding {encoding!r}")

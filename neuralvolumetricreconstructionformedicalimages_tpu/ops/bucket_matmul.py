@@ -109,13 +109,18 @@ def _kernel(starts_ref, stream_ref, out_ref, pbuf, acc, sems, *, D, K, C):
         w = jnp.concatenate(rows, axis=0)  # (K, M)
 
         lo_full = (keys - jnp.float32(b * _W)).astype(jnp.int32)  # [0, W) iff in-bucket
-        hi_idx = jax.lax.div(lo_full, _LO)
-        lo_idx = lo_full - hi_idx * _LO
+        # In-bucket position s_local = lo_idx * HI + hi_idx: the MXU-
+        # contracted factor (hi, 128 columns) is the *minor* 128-block
+        # position, so the post-kernel (LO, NB) rearrange never moves the
+        # minor dim — a near-bandwidth XLA copy instead of a strided
+        # minor-dim transpose (round-3 profile fix).
+        lo_idx = jax.lax.div(lo_full, _HI)
+        hi_idx = lo_full - lo_idx * _HI
 
         # Out-of-bucket keys (bucket overlap, sentinel padding) match no
-        # one-hot column: hi_idx falls outside [0, HI).  (lax.div rounds
-        # toward zero; negative lo_full can only alias hi_idx == 0 with
-        # lo_idx < 0, which matches no column either.)
+        # one-hot column: lo_idx falls outside [0, LO).  (lax.div rounds
+        # toward zero; negative lo_full can only alias lo_idx == 0 with
+        # hi_idx < 0, which matches no column either.)
         oh_hi = (
             jax.lax.broadcasted_iota(jnp.int32, (_HI, _M), 0) == hi_idx
         ).astype(jnp.float32)
@@ -219,9 +224,11 @@ def bucket_grad_matmul(
         out_shape=jax.ShapeDtypeStruct((L, C * K * _LO, NB * _HI), jnp.float32),
         interpret=interpret,
     )(starts, stream)
-    # raw[l, (f, lo), (b, hi)] -> grad[l, f, s] with s = b*W + hi*LO + lo
+    # raw[l, (f, lo), (b, hi)] -> grad[l, f, s] with s = b*W + lo*HI + hi.
+    # Only the two non-minor axes (lo, b) swap; the 128-wide minor dim
+    # stays contiguous, so this is a cheap block copy.
     raw = raw.reshape(L, C * K, _LO, NB, _HI)
-    return raw.transpose(0, 1, 3, 4, 2).reshape(L, C * K, S)
+    return raw.transpose(0, 1, 3, 2, 4).reshape(L, C * K, S)
 
 
 def bucket_grad_matmul_reference(

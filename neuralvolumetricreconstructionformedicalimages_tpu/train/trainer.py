@@ -57,12 +57,20 @@ from .optim import make_lr_schedule, make_optimizer
 # --------------------------------------------------------------------------
 
 def build_model(cfg: Dict[str, Any]):
-    """Network + encoder from the config schema (src/trainer.py:43-51)."""
+    """Network + encoder from the config schema (src/trainer.py:43-51).
+
+    The ``parallel`` precision policy feeds in here: ``table_dtype``
+    (rolled gather table) and ``compute_dtype`` (MLP MXU inputs) — both
+    f32 by default, bfloat16 for the TPU-fast configuration.
+    """
+    par = cfg.get("parallel", {})
     enc_cfg = dict(cfg["encoder"])
+    enc_cfg.setdefault("table_dtype", par.get("table_dtype", "float32"))
     enc = get_encoder(**enc_cfg)
     net_cfg = dict(cfg["network"])
     net_type = net_cfg.pop("net_type", "mlp")
     net_cfg["skips"] = tuple(net_cfg.get("skips", (4,)))
+    net_cfg.setdefault("compute_dtype", par.get("compute_dtype", "float32"))
     spec = get_network(net_type)(encoder=enc, **net_cfg)
     return spec
 
@@ -306,8 +314,13 @@ class Trainer:
         rays = dset.rays[sel].reshape(-1, 8)
 
         params = self.state["params"]
-        coarse = params["coarse"]
-        fine = params.get("fine")
+        # Prebuild the encoder's rolled gather table ONCE per eval; the
+        # tiled render/query loops below then reuse it instead of
+        # re-materializing it per lax.map tile (the round-2 chest-scale
+        # eval hang).
+        coarse = self.spec.freeze(params["coarse"])
+        fine = (self.spec.freeze(params["fine"])
+                if params.get("fine") is not None else None)
         eval_params = fine if (self.n_fine > 0 and fine is not None) else coarse
 
         acc = render_image(

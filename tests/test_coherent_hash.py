@@ -175,3 +175,46 @@ class TestBucketKernel:
         """All keys at one index; other buckets must come out zero."""
         keys = np.full((2, 1024), 5, np.int32)
         self._check(keys, rng)
+
+
+class TestPrebuiltAndDtype:
+    def test_prebuilt_matches_oracle(self, rng):
+        from neuralvolumetricreconstructionformedicalimages_tpu.ops.coherent_hash import (
+            build_rolled_table,
+            coherent_encode_prebuilt,
+        )
+
+        x01 = _points(rng, 211)
+        table = SPEC.init(jax.random.key(4))
+        rolled = build_rolled_table(table, SPEC)
+        out = coherent_encode_prebuilt(x01, rolled, SPEC)
+        ref = coherent_encode_reference(x01, table, SPEC)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+    def test_rolled_table_layout(self, rng):
+        """rolled[l, i, k*C + c] == table[l, (i + off[l,k]) % S, c]."""
+        from neuralvolumetricreconstructionformedicalimages_tpu.ops.coherent_hash import (
+            build_rolled_table,
+        )
+
+        table = SPEC.init(jax.random.key(5))
+        rolled = np.asarray(build_rolled_table(table, SPEC))
+        tab = np.asarray(table)
+        offs = corner_offsets(SPEC)
+        L, S, C = tab.shape
+        for l in (0, SPEC.num_levels - 1):
+            for k in (0, 3, 7):
+                np.testing.assert_array_equal(
+                    rolled[l, :, k * C : (k + 1) * C],
+                    np.roll(tab[l], -int(offs[l, k]), axis=0),
+                )
+
+    def test_bfloat16_rolled_close_to_f32(self, rng):
+        x01 = _points(rng, 211)
+        table = SPEC.init(jax.random.key(6))
+        f32 = coherent_encode(x01, table, SPEC)
+        bf16 = coherent_encode(x01, table, SPEC, jnp.bfloat16)
+        assert bf16.dtype == jnp.float32  # output upcast
+        np.testing.assert_allclose(
+            np.asarray(f32), np.asarray(bf16), atol=2e-2, rtol=2e-2
+        )

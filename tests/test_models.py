@@ -120,3 +120,45 @@ def test_jit_and_grad_through_full_model():
     g = jax.grad(loss)(params)
     gn = jax.tree.reduce(lambda a, b: a + b, jax.tree.map(lambda t: float(jnp.abs(t).sum()), g))
     assert np.isfinite(gn) and gn > 0
+
+
+def test_invalid_backward_and_table_dtype_raise():
+    with pytest.raises(ValueError, match="backward"):
+        get_encoder("hashgrid", backward="takevjp")
+    with pytest.raises(ValueError, match="table_dtype"):
+        get_encoder("hashgrid", table_dtype="fp8")
+
+
+def test_take_backward_allowed_for_any_table_size(rng):
+    """The pure-XLA take path has no bucket-tiling constraint; a table not
+    divisible by 2048 must still use the rolled fast path (ADVICE r2)."""
+    enc = get_encoder("hashgrid", num_levels=3, base_resolution=4,
+                      log2_hashmap_size=8, backward="take")
+    assert enc.grid.table_size % 2048 != 0
+    params = enc.init(jax.random.key(0))
+    x = jnp.asarray(rng.uniform(-0.2, 0.2, (33, 3)).astype(np.float32))
+    out = enc.apply(params, x, 0.2)
+    ref_enc = dataclasses.replace(enc, fast=False)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref_enc.apply(params, x, 0.2)), atol=1e-6)
+
+
+def test_freeze_prebuilds_rolled_and_matches(rng):
+    spec = reference_mlp_spec()
+    params = spec.init(jax.random.key(2))
+    frozen = spec.freeze(params)
+    assert "rolled" in frozen["encoder"]
+    x = jnp.asarray(rng.uniform(-0.3, 0.3, (64, 3)).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(spec.apply(frozen, x)),
+        np.asarray(spec.apply(params, x)), atol=1e-6)
+
+
+def test_bfloat16_compute_dtype_close(rng):
+    spec = reference_mlp_spec()
+    spec_bf = reference_mlp_spec(compute_dtype="bfloat16")
+    params = spec.init(jax.random.key(3))
+    x = jnp.asarray(rng.uniform(-0.3, 0.3, (64, 3)).astype(np.float32))
+    y32, ybf = spec.apply(params, x), spec_bf.apply(params, x)
+    assert ybf.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(y32), np.asarray(ybf), atol=2e-2)
