@@ -245,13 +245,22 @@ _REGULARIZERS = {
 }
 
 
-def get_loss_fn(name: str = "mse"):
+def get_loss_fn(name: str = "mse", axis_name=None):
     """Build the training loss named by ``cfg["train"]["loss"]``.
 
     Returns ``fn(pred, target, mask=None, aux=None) -> (loss, components)``
     where ``components`` maps reference loss-dict keys to scalars (the
     reference logs each key to TensorBoard, train.py:132-133).
+
+    ``axis_name``: when set (the sharded path, ``parallel/step.py``),
+    every mean becomes an exact *global* estimator — numerator and
+    denominator are each ``lax.psum``'d over the named mesh axis before
+    the division, so the value is identical to the unsharded loss over
+    the concatenated batch even when per-shard mask sums differ.  Aux
+    terms (``tv_loss``) must already be globally reduced by the caller.
     """
+    from jax import lax
+
     parts = [p.strip().lower() for p in str(name or "mse").split("+") if p.strip()]
     if not parts:
         parts = ["mse"]
@@ -267,12 +276,34 @@ def get_loss_fn(name: str = "mse"):
                 f"Unknown loss regularizer {r!r}; choose from {sorted(_REGULARIZERS)}")
     per_elem, comp_key = _PRIMARY_LOSSES[primary]
 
+    def _sum(x):
+        s = jnp.sum(x)
+        return lax.psum(s, axis_name) if axis_name is not None else s
+
+    def _count(x):
+        n = jnp.asarray(x.size, jnp.float32)
+        return lax.psum(n, axis_name) if axis_name is not None else n
+
+    def _gmean(x, mask=None):
+        if mask is None:
+            return _sum(x) / _count(x)
+        m = mask.astype(x.dtype)
+        return _sum(x * m) / jnp.maximum(_sum(m), 1.0)
+
     def fn(pred, target, mask=None, aux=None):
         aux = aux or {}
-        total = _wmean(per_elem(pred, target), mask)
+        total = _gmean(per_elem(pred, target), mask)
         components = {comp_key: total}
         for r in regs:
-            term = _REGULARIZERS[r](pred, target, aux)
+            if r == "tv":  # aux passthrough; caller pre-reduces (see doc)
+                term = aux.get("tv_loss", 0.0)
+            elif r == "small":
+                term = _gmean(pred**2)
+            elif r == "zero":
+                term = _gmean((jnp.abs(target) <= 1e-5).astype(pred.dtype)
+                              * pred**2)
+            else:  # pragma: no cover - guarded above
+                term = _REGULARIZERS[r](pred, target, aux)
             components[f"loss_{r}"] = term
             total = total + term
         components["loss"] = total
