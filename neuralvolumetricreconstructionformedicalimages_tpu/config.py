@@ -37,6 +37,9 @@ _TPU_DEFAULTS: Dict[str, Dict[str, Any]] = {
         "seed": 42,
         "shuffle_views": False,  # reference DataLoader iterates views in order
         "loss": "mse",           # see losses.get_loss_fn (e.g. "huber", "mse+tv")
+        # "auto" | "precomputed" | "onthefly": device-resident [N,H,W,8]
+        # ray tensor vs per-step regeneration (data/dataset.py)
+        "ray_mode": "auto",
     },
     "log": {
         "eval_mask": False,      # eval_stepMASK variant (train.py:138-218)

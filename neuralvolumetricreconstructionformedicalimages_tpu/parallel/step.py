@@ -97,7 +97,8 @@ def _render_acc_sample_sharded(
 
 def _make_shard_body(cfg: Dict[str, Any], spec: DensityFieldSpec, opt,
                      n_rays: int, n_batch: int, use_mask: bool,
-                     n_data: int, n_sample: int):
+                     n_data: int, n_sample: int,
+                     geo=None, near: float = 0.0, far: float = 0.0):
     """Per-device step body (runs inside shard_map)."""
     render_cfg = cfg["render"]
     n_samples = int(render_cfg["n_samples"])
@@ -165,7 +166,8 @@ def _make_shard_body(cfg: Dict[str, Any], spec: DensityFieldSpec, opt,
         pix_keys = jax.random.split(k_pix, n_batch)
 
         batches = jax.vmap(
-            lambda v, kk: gather_view_batch(arrays, v, kk, local_rays)
+            lambda v, kk: gather_view_batch(arrays, v, kk, local_rays,
+                                            geo=geo, near=near, far=far)
         )(views, pix_keys)
         batch = jax.tree.map(lambda x: x.reshape((-1,) + x.shape[2:]), batches)
 
@@ -186,19 +188,21 @@ def _make_shard_body(cfg: Dict[str, Any], spec: DensityFieldSpec, opt,
 
 def make_sharded_train_step(cfg: Dict[str, Any], spec: DensityFieldSpec,
                             mesh, steps_per_epoch: int, *,
-                            n_rays: int, n_batch: int, use_mask: bool):
+                            n_rays: int, n_batch: int, use_mask: bool,
+                            geo=None, near: float = 0.0, far: float = 0.0):
     """One jitted sharded optimizer step.
 
     Returns ``fn(state, arrays, views [n_batch], key) -> (state, loss)``.
     All inputs replicated (``P()``); ray shards are *generated* per device
     by key folding, so no cross-device data movement happens outside the
-    gradient ``psum``.
+    gradient ``psum``.  ``geo``/``near``/``far`` enable the on-the-fly ray
+    mode (see data/dataset.py).
     """
     opt = make_optimizer(cfg, steps_per_epoch)
     n_data = mesh.shape[DATA_AXIS]
     n_sample = mesh.shape[SAMPLE_AXIS]
     body = _make_shard_body(cfg, spec, opt, n_rays, n_batch, use_mask,
-                            n_data, n_sample)
+                            n_data, n_sample, geo=geo, near=near, far=far)
 
     sharded = jax.shard_map(
         body, mesh=mesh,
@@ -215,7 +219,8 @@ def make_sharded_train_step(cfg: Dict[str, Any], spec: DensityFieldSpec,
 
 def make_sharded_epoch_fn(cfg: Dict[str, Any], spec: DensityFieldSpec,
                           mesh, steps_per_epoch: int, *,
-                          n_rays: int, n_batch: int, use_mask: bool):
+                          n_rays: int, n_batch: int, use_mask: bool,
+                          geo=None, near: float = 0.0, far: float = 0.0):
     """One jitted sharded epoch: ``lax.scan`` of sharded steps *inside* a
     single ``shard_map`` region — the host touches the device mesh once
     per epoch, and no resharding happens between steps.
@@ -227,7 +232,7 @@ def make_sharded_epoch_fn(cfg: Dict[str, Any], spec: DensityFieldSpec,
     n_data = mesh.shape[DATA_AXIS]
     n_sample = mesh.shape[SAMPLE_AXIS]
     body = _make_shard_body(cfg, spec, opt, n_rays, n_batch, use_mask,
-                            n_data, n_sample)
+                            n_data, n_sample, geo=geo, near=near, far=far)
 
     def epoch(state, arrays, view_order, key):
         keys = jax.random.split(key, view_order.shape[0])

@@ -92,11 +92,15 @@ def init_state(cfg: Dict[str, Any], spec, steps_per_epoch: int,
 
 
 def make_epoch_fn(cfg: Dict[str, Any], spec, steps_per_epoch: int,
-                  n_rays: int, n_batch: int, use_mask: bool):
+                  n_rays: int, n_batch: int, use_mask: bool,
+                  geo=None, near: float = 0.0, far: float = 0.0):
     """One jitted epoch: lax.scan of train steps over view minibatches.
 
     Returns fn(state, arrays, view_order [steps, n_batch], key)
     -> (state, metrics { 'loss': [steps], 'lr': [steps] }).
+
+    ``geo``/``near``/``far`` enable the on-the-fly ray mode (arrays with
+    "angles" instead of "rays"; see data/dataset.py) — unused otherwise.
     """
     render_cfg = cfg["render"]
     n_samples = int(render_cfg["n_samples"])
@@ -128,7 +132,8 @@ def make_epoch_fn(cfg: Dict[str, Any], spec, steps_per_epoch: int,
         pix_keys = jax.random.split(k_pix, n_batch)
 
         batches = jax.vmap(
-            lambda v, k: gather_view_batch(arrays, v, k, n_rays)
+            lambda v, k: gather_view_batch(arrays, v, k, n_rays,
+                                           geo=geo, near=near, far=far)
         )(views, pix_keys)
         batch = jax.tree.map(lambda x: x.reshape((-1,) + x.shape[2:]), batches)
 
@@ -179,8 +184,11 @@ class Trainer:
 
         # Datasets (device-resident)
         datadir = cfg["exp"]["datadir"]
-        self.train_dset = load_dataset(datadir, "train", self.n_rays)
-        self.eval_dset = (load_dataset(datadir, "val", self.n_rays)
+        ray_mode = str(cfg["train"].get("ray_mode", "auto"))
+        self.train_dset = load_dataset(datadir, "train", self.n_rays,
+                                       ray_mode=ray_mode)
+        self.eval_dset = (load_dataset(datadir, "val", self.n_rays,
+                                       ray_mode=ray_mode)
                           if self.i_eval > 0 else None)
         self.use_mask = bool(float(np.asarray(self.train_dset.mask).min()) < 1.0)
 
@@ -214,7 +222,8 @@ class Trainer:
         # Jitted epoch
         self._epoch_fn = make_epoch_fn(
             cfg, self.spec, self.steps_per_epoch, self.n_rays, self.n_batch,
-            self.use_mask)
+            self.use_mask, geo=self.train_dset.geo,
+            near=self.train_dset.near, far=self.train_dset.far)
         self._arrays = self.train_dset.arrays()
 
     # -- persistence -----------------------------------------------------
@@ -311,7 +320,7 @@ class Trainer:
         sel = int(np.random.default_rng(idx_epoch).integers(dset.n_views))
         projs_gt = np.asarray(dset.projs[sel]).astype(np.complex64)
         H, W = projs_gt.shape
-        rays = dset.rays[sel].reshape(-1, 8)
+        rays = dset.view_rays(sel)
 
         params = self.state["params"]
         # Prebuild the encoder's rolled gather table ONCE per eval; the

@@ -246,3 +246,43 @@ def test_format_real_data_schema():
     assert ds.geo.mode == "parallel"
     b = gather_view_batch(ds.arrays(), jnp.asarray(0), jax.random.key(0), 8)
     assert b["rays"].shape == (8, 8)
+
+
+class TestOnTheFlyRays:
+    def test_gather_matches_precomputed(self):
+        """Same key -> identical batch whether rays are device-resident or
+        regenerated per sampled pixel (data/dataset.py ray_mode)."""
+        import jax
+
+        from neuralvolumetricreconstructionformedicalimages_tpu.data.dataset import (
+            gather_view_batch, make_dataset)
+        from neuralvolumetricreconstructionformedicalimages_tpu.data.generate import (
+            generate)
+
+        data = generate({"nDetector": [16, 16], "dDetector": [16.0, 16.0],
+                         "nVoxel": [16, 16, 16], "dVoxel": [8.0, 8.0, 8.0],
+                         "numTrain": 3, "numVal": 2}, phantom="ball", seed=0)
+        pre = make_dataset(data, "train", n_rays=32, ray_mode="precomputed")
+        otf = make_dataset(data, "train", n_rays=32, ray_mode="onthefly")
+        assert otf.rays is None and "angles" in otf.arrays()
+
+        key = jax.random.key(9)
+        view = jnp.int32(1)
+        b_pre = gather_view_batch(pre.arrays(), view, key, 32)
+        b_otf = gather_view_batch(otf.arrays(), view, key, 32,
+                                  geo=otf.geo, near=otf.near, far=otf.far)
+        for k in ("rays", "projs", "mask", "pix"):
+            np.testing.assert_allclose(
+                np.asarray(b_pre[k]), np.asarray(b_otf[k]), atol=1e-5,
+                err_msg=k)
+
+        # eval path: on-demand full-view rays equal the precomputed ones
+        np.testing.assert_allclose(
+            np.asarray(otf.view_rays(2)), np.asarray(pre.view_rays(2)),
+            atol=1e-6)
+
+    def test_auto_threshold(self):
+        from neuralvolumetricreconstructionformedicalimages_tpu.data import dataset as D
+
+        assert 187 * 1024 * 1024 * 8 * 4 > D._RAY_TENSOR_BYTES_LIMIT  # brain real
+        assert 50 * 256 * 256 * 8 * 4 < D._RAY_TENSOR_BYTES_LIMIT     # chest

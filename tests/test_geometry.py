@@ -155,3 +155,29 @@ def test_pack_rays_layout():
     assert rays.shape[-1] == 8
     np.testing.assert_allclose(rays[..., 6], 0.7)
     np.testing.assert_allclose(rays[..., 7], 1.3)
+
+
+class TestRaysForPixels:
+    """On-the-fly per-pixel rays must equal the full-view bundle restricted
+    to those pixels (both scanner modes, with tilt)."""
+
+    @pytest.mark.parametrize("mode,tilt", [("cone", 0.0), ("parallel", 30.0)])
+    def test_matches_full_view(self, mode, tilt):
+        import jax.numpy as jnp
+
+        geo = G.ConeGeometry(
+            DSD=1.5, DSO=1.0, nDetector=(7, 5), dDetector=(0.01, 0.012),
+            nVoxel=(8, 8, 8), dVoxel=(0.01, 0.01, 0.01), mode=mode,
+            tilt_angle=tilt, offDetector=(0.003, -0.002),
+        )
+        angle = 0.77
+        ro_full, rd_full = G.rays_for_angle(geo, angle)
+        rng = np.random.default_rng(5)
+        W = geo.nDetector[0]
+        flat = rng.integers(0, ro_full.shape[0] * W, 13).astype(np.int32)
+        rows, cols = flat // W, flat % W
+        ro, rd = G.rays_for_pixels(geo, angle, jnp.asarray(rows), jnp.asarray(cols))
+        np.testing.assert_allclose(
+            np.asarray(ro), np.asarray(ro_full)[rows, cols], atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(rd), np.asarray(rd_full)[rows, cols], atol=1e-6)
