@@ -168,12 +168,13 @@ def hash_encode(x01: jax.Array, table: jax.Array, spec: HashGridSpec) -> jax.Arr
     level_offsets = jnp.arange(L, dtype=jnp.int32)[None, :, None] * jnp.int32(S)
     flat_idx = idx + level_offsets                          # [B, L, 2^D]
     flat_table = table.reshape(L * S, C)
-    # NOTE: keep jnp.take (clip mode) rather than lax.gather with
-    # PROMISE_IN_BOUNDS — measured on v5e, the forward cost is identical
-    # (~8 ns/index either way) but take's autodiff backward lowers to a
-    # fast scatter (~1 ns/update in situ) while the PIB gather's VJP
-    # lowers to the slow explicit scatter path (~55 ns/update, 1.6 s/step).
-    # See docs/design_notes.md §2.
+    # NOTE: jnp.take (clip mode) — forward cost equals
+    # lax.gather(PROMISE_IN_BOUNDS) (~7 ns/row on v5e) and its VJP is a
+    # deterministic scatter-add.  That scatter measures 63 ns/update
+    # (1.59 s at chest scale, docs/microbench_r2.md) — this path is the
+    # correctness oracle for the XOR variant, NOT a hot path; production
+    # training uses ops/coherent_hash.py (sort + bucket-matmul backward,
+    # zero scatters).
     vals = jnp.take(flat_table, flat_idx, axis=0)           # [B, L, 2^D, C]
 
     out = jnp.sum(w[..., None].astype(vals.dtype) * vals, axis=2)  # [B, L, C]
