@@ -14,6 +14,7 @@ with ``lax.map`` (static shapes, one compilation).
 
 from __future__ import annotations
 
+import functools
 from typing import Dict, Optional
 
 import jax
@@ -82,6 +83,10 @@ def render_rays(
     return ret
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("spec", "n_samples", "tile", "n_fine", "spec_fine"),
+)
 def render_image(
     rays: jax.Array,
     params,
@@ -97,6 +102,12 @@ def render_image(
 
     rays: [N, 8] with N padded to a multiple of ``tile`` internally.
     Memory-bounded via ``lax.map`` over fixed-size tiles (one compile).
+
+    Jitted with ``params`` as a runtime argument on purpose: when called
+    eagerly, ``lax.map`` would capture the params as *compile-time
+    constants* of its body — with frozen eval params that includes the
+    512 MB prebuilt rolled table, which overflows the remote-compile
+    request on the axon platform (HTTP 413) and re-uploads per call.
     """
     n = rays.shape[0]
     n_pad = (-n) % tile
@@ -115,6 +126,7 @@ def render_image(
     return acc[:n]
 
 
+@functools.partial(jax.jit, static_argnames=("spec", "tile"))
 def query_field(
     points: jax.Array,
     params,
@@ -123,7 +135,9 @@ def query_field(
     tile: int = 262144,
 ) -> jax.Array:
     """Dense field query (eval voxel grid), tiled like the reference's
-    ``run_network`` netchunk loop (render.py:148-156) but with lax.map."""
+    ``run_network`` netchunk loop (render.py:148-156) but with lax.map.
+    Jitted with runtime ``params`` for the same reason as ``render_image``.
+    """
     prefix = points.shape[:-1]
     flat = points.reshape(-1, points.shape[-1])
     n = flat.shape[0]

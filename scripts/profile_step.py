@@ -57,6 +57,24 @@ def rep(fn, reps=REPS):
     return run
 
 
+def rep2(fn, reps=REPS):
+    """Like ``rep`` but with a second pytree passed as a jit ARGUMENT —
+    closures over big arrays would embed them as compile-time constants
+    and overflow the axon remote-compile request (HTTP 413)."""
+    def body_of(aux):
+        def body(c, _):
+            o = fn(c, aux)
+            z = (jax.tree_util.tree_leaves(o)[-1].ravel()[0] * 0).astype(c.dtype)
+            return c + z, None
+        return body
+
+    @jax.jit
+    def run(x, aux):
+        y, _ = jax.lax.scan(body_of(aux), x, None, length=reps)
+        return y
+    return run
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu", action="store_true")
@@ -123,9 +141,10 @@ def main():
           rep(lambda t: build_rolled_table(t, grid, jnp.bfloat16)), table)
 
     rolled = jax.jit(lambda t: build_rolled_table(t, grid))(table)
-    t_gather = timed("A2 prebuilt gather+lerp fwd",
-                     rep(lambda x: coherent_encode_prebuilt(x, rolled, grid)),
-                     x01)
+
+    t_gather = timed(
+        "A2 prebuilt gather+lerp fwd",
+        rep2(lambda x, r: coherent_encode_prebuilt(x, r, grid)), x01, rolled)
 
     base, frac = jax.jit(lambda x: base_and_frac(grid, x))(x01)
     g_out = jax.random.normal(jax.random.key(2), (B, L, C))
@@ -146,8 +165,9 @@ def main():
 
     t_kernel = timed(
         "A4 bucket kernel (+rearrange)",
-        rep(lambda k: bucket_grad_matmul(k, sf, sg, table_size=S, input_dim=D)),
-        sk)
+        rep2(lambda k, aux: bucket_grad_matmul(
+            k, aux[0], aux[1], table_size=S, input_dim=D)),
+        sk, (sf, sg))
 
     from neuralvolumetricreconstructionformedicalimages_tpu.ops import coherent_hash as CH
 
@@ -165,34 +185,37 @@ def main():
 
     t_rolls = timed("A5 adjoint corner rolls", rep(adjoint_rolls), gr_in)
 
-    def enc_bwd(x):
+    def enc_bwd(x, tab):
         return jax.grad(
-            lambda t: jnp.sum(coherent_encode(x, t, grid) * 1e-3))(table)
+            lambda t: jnp.sum(coherent_encode(x, t, grid) * 1e-3))(tab)
 
-    t_enc = timed("A6 encoder fwd+bwd (integrated)", rep(enc_bwd), x01)
+    t_enc = timed("A6 encoder fwd+bwd (integrated)", rep2(enc_bwd), x01, table)
     print(f"   [components A1+A2+A3+A4+A5 = "
           f"{(t_build+t_gather+t_sort+t_kernel+t_rolls)*1e3:.1f} ms]",
           flush=True)
 
     # ---- pipeline stages ------------------------------------------------
-    timed("B1 field fwd (encode+mlp)", rep(lambda p: spec.apply(params, p)), pts)
-    timed("B2 render fwd", rep(lambda r: render_rays(
-        r, params, spec, n_samples=N_SAMPLES, perturb=False, key=None)["acc"]),
-        rays)
+    timed("B1 field fwd (encode+mlp)",
+          rep2(lambda p, prm: spec.apply(prm, p)), pts, params)
+    timed("B2 render fwd", rep2(lambda r, prm: render_rays(
+        r, prm, spec, n_samples=N_SAMPLES, perturb=False, key=None)["acc"]),
+        rays, params)
 
     def loss(p, r):
         out = render_rays(r, p, spec, n_samples=N_SAMPLES, perturb=False, key=None)
         return masked_mse(out["acc"], target, None)
 
     g = jax.grad(loss)
-    timed("B3 fwd+bwd", rep(lambda r: g(params, r)), rays)
+    timed("B3 fwd+bwd", rep2(lambda r, prm: g(prm, r)), rays, params)
 
-    def full(r):
-        gr = g(params, r)
-        upd, _ = opt.update({"coarse": gr}, state["opt_state"], {"coarse": params})
+    def full(r, aux):
+        prm, ost = aux
+        gr = g(prm, r)
+        upd, _ = opt.update({"coarse": gr}, ost, {"coarse": prm})
         return upd
 
-    t_full = timed("B4 full step (adds dense Adam)", rep(full), rays)
+    t_full = timed("B4 full step (adds dense Adam)", rep2(full), rays,
+                   (params, state["opt_state"]))
     print(f"   [B4 -> {N_RAYS/t_full:,.0f} rays/s]", flush=True)
 
     # ---- frozen eval path (VERDICT r2 #4) -------------------------------
