@@ -21,13 +21,14 @@ fired mid-dispatch — the documented wedge *trigger*, docs/microbench_r2.md
   when healthy it always exits cleanly on its own; it is never interrupted
   mid-dispatch.  Individual dispatches are short (a 2-4 step scanned
   block, <1 s at round-2 speed).
-- Stage order escalates: ``tiny`` (2^13 table, seconds-scale, retried if
-  the worker is still waking up) publishes a valid number first;
-  ``small`` (2^15, bucket backward) refines; ``chest`` (full 2^19 scale)
-  gets the remaining budget.  If any stage must be killed (wedged chip),
-  the remaining stages are SKIPPED and the best number so far is
-  published — killing a hung client cannot un-wedge the worker, so there
-  is no point dispatching more.
+- Stage order: ``tiny`` (2^13 table, seconds-scale, retried if the worker
+  is still waking up) publishes a valid number first; ``chest`` (full
+  2^19 scale) gets the remaining budget; ``small`` (2^15, bucket) runs
+  only as a backfill when chest produced nothing.  A stage that overruns
+  its budget is ABANDONED, never killed — killing a client with an
+  in-flight device call is what wedges the worker; the orphan
+  self-terminates between dispatches and leaves its finished compiles in
+  the persistent cache for the next run.
 
 Baseline for ``vs_baseline``: the reference publishes no numbers
 (BASELINE.md), so we ESTIMATE from the NAF paper's single-RTX-3090
@@ -60,8 +61,9 @@ N_VIEWS, H, W = 50, 256, 256
 #          max_blocks, stage_budget_s, retries)
 STAGES = {
     "tiny": (13, "take", 64, 2, 2, 120.0, 3),
-    "small": (15, "bucket", N_SAMPLES, 4, 2, 110.0, 1),
     "chest": (19, "bucket", N_SAMPLES, 4, 3, 1e9, 1),  # gets the rest
+    # backfill only when chest produced nothing (see parent_main)
+    "small": (15, "bucket", N_SAMPLES, 4, 2, 110.0, 1),
 }
 
 
@@ -186,7 +188,16 @@ def child_main(stage: str, deadline_s: float) -> None:
 # ---------------------------------------------------------------------------
 
 def _run_stage(stage: str, budget_s: float):
-    """Spawn the stage subprocess; return (rate | None, timed_out: bool)."""
+    """Spawn the stage subprocess; return (rate | None, timed_out: bool).
+
+    A timed-out child is NEVER killed: killing a client with an in-flight
+    device call (a long compile or execute) is the documented trigger that
+    wedges the remote TPU worker for 10-45 min (docs/microbench_r2.md
+    "Operational" — re-confirmed live this round).  The orphan keeps
+    running detached: its internal deadline stops it at the next
+    between-dispatch check, and any compile it finishes lands in the
+    persistent cache, making the NEXT run fast.
+    """
     child_deadline = max(20.0, budget_s - KILL_GRACE_S)
     proc = subprocess.Popen(
         [sys.executable, os.path.abspath(__file__),
@@ -198,14 +209,9 @@ def _run_stage(stage: str, budget_s: float):
     try:
         out, _ = proc.communicate(timeout=budget_s)
     except subprocess.TimeoutExpired:
-        _progress(f"stage {stage}: exceeded {budget_s:.0f}s incl. grace — "
-                  "worker presumed wedged; killing child and skipping "
-                  "remaining stages")
-        try:
-            os.killpg(proc.pid, 9)
-        except Exception:  # noqa: BLE001
-            proc.kill()
-        proc.wait()
+        _progress(f"stage {stage}: exceeded {budget_s:.0f}s — abandoning the "
+                  "child (NOT killed: it self-terminates between dispatches "
+                  "and caches any finished compile)")
         return None, True
     for line in reversed(out.strip().splitlines()):
         try:
@@ -238,10 +244,13 @@ def parent_main() -> None:
         "chest": "chest_50 scale (16x2^19x2 table), bucket-kernel backward",
     }
 
-    wedged = False
+    chest_done = False
     for stage, spec in STAGES.items():
+        if stage == "small" and chest_done:
+            continue  # backfill stage: chest already gave the real number
         stage_budget, retries = spec[5], spec[6]
         got = False
+        abandoned = False
         for attempt in range(retries):
             remaining = t_hard_end - time.time()
             budget = min(stage_budget, remaining)
@@ -255,19 +264,22 @@ def parent_main() -> None:
                 record(rate, notes[stage])
                 got = True
                 break
-            # Timed-out "tiny" attempts are retried (a wedged worker can
-            # recover mid-bench); a timeout on any LATER stage means the
-            # worker wedged after being healthy — stop dispatching.
-            if timed_out and stage != "tiny":
-                wedged = True
-                break
+            if timed_out:
+                abandoned = True
+                # Only "tiny" retries after a timeout (a wedged worker can
+                # recover mid-bench); an abandoned child on a later stage
+                # may still hold the chip, so stop spawning against it.
+                if stage != "tiny":
+                    break
             time.sleep(min(15.0, max(0.0, t_hard_end - time.time() - 45)))
-        if wedged:
-            break
         if stage == "tiny" and not got:
             _progress("tiny stage never completed — worker unhealthy; "
                       "skipping remaining stages")
             break
+        if stage == "chest":
+            chest_done = got
+            if abandoned:
+                break  # orphan may still hold the chip; publish what we have
 
     if best is not None:
         print(json.dumps(best), flush=True)
