@@ -61,9 +61,13 @@ class HashEncoderSpec(EncoderSpec):
     grid: HashGridSpec = HashGridSpec()
     hash_variant: str = "coherent"
     fast: bool = True
-    # "bucket": custom_vjp sort + Pallas bucket-matmul backward (fastest).
+    # "canonical": custom_vjp sort + Pallas bucket-matmul accumulating
+    #   straight into canonical table positions (fastest; no rolled
+    #   gradient, no adjoint rolls).
+    # "bucket": custom_vjp sort + Pallas bucket-matmul into the rolled
+    #   layout + adjoint corner rolls.
     # "take": plain autodiff over the rolled-table gather (pure XLA, no
-    # Pallas) — conservative fallback, ~wide-row scatter backward.
+    #   Pallas) — conservative fallback, ~wide-row scatter backward.
     backward: str = "bucket"
     # dtype of the rolled gather table ("float32" | "bfloat16").  bfloat16
     # halves the per-step rolled-table build traffic and the gather reads
@@ -72,9 +76,10 @@ class HashEncoderSpec(EncoderSpec):
     table_dtype: str = "float32"
 
     def __post_init__(self):
-        if self.backward not in ("bucket", "take"):
+        if self.backward not in ("bucket", "canonical", "take"):
             raise ValueError(
-                f"backward must be 'bucket' or 'take', got {self.backward!r}"
+                f"backward must be 'bucket', 'canonical' or 'take', "
+                f"got {self.backward!r}"
             )
         if self.table_dtype not in ("float32", "bfloat16"):
             raise ValueError(
@@ -129,11 +134,13 @@ class HashEncoderSpec(EncoderSpec):
                 # Pure-XLA path; works for any table size.
                 out = coherent_encode_takevjp(
                     x01, params["table"], self.grid, self._table_dtype)
-            elif self.fast and self.grid.table_size % 2048 == 0:
-                # The bucket kernel tiles the table into 2048-wide
+            elif self.fast and self.grid.table_size % (
+                    16384 if self.backward == "canonical" else 2048) == 0:
+                # The bucket kernels tile the table into fixed-width
                 # buckets; tiny test tables use the oracle path below.
                 out = coherent_encode(
-                    x01, params["table"], self.grid, self._table_dtype)
+                    x01, params["table"], self.grid, self._table_dtype,
+                    self.backward)
             else:
                 out = coherent_encode_reference(x01, params["table"], self.grid)
         else:

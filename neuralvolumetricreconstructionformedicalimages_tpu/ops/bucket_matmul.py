@@ -259,3 +259,199 @@ def bucket_grad_matmul_reference(
         return z.at[k_l].add(p_l.T).T
 
     return jax.vmap(one)(keys, pay)
+
+
+# ---------------------------------------------------------------------------
+# Canonical-target variant: emit table-space gradients directly
+# ---------------------------------------------------------------------------
+#
+# The rolled-output kernel above produces grad wrt the ROLLED table
+# [L, C*K, S]; the caller must then apply 8 adjoint corner rolls (+512 MB
+# of traffic) to reach the canonical [L, S, C] gradient (measured 9.5 ms,
+# docs/profile_r3.md A5) plus a 512 MB output rearrange.  This variant
+# exploits that the linear hash's corner targets are STATIC shifts of the
+# sorted base keys: for corner k, the updates contributing to canonical
+# bucket [b*W, (b+1)*W) occupy a contiguous window of the sorted stream,
+# s in [b*W - off[l,k], b*W + W - off[l,k]) mod S — so each (level,
+# bucket) program walks 8 per-corner windows (searchsorted outside) and
+# accumulates straight into canonical table positions.  Output is
+# [L, C, S]-shaped (64 MB at chest scale, 8x less than the rolled grad),
+# and the adjoint rolls disappear entirely.
+
+_W2 = 16384           # canonical bucket width = _LO2 * _HI
+_LO2 = _W2 // _HI     # 128 (VPU factor; HI=128 stays the MXU factor)
+_M2 = 1024            # sorted-stream chunk per inner step
+
+
+def _canonical_kernel(starts_ref, offs_ref, stream_ref, out_ref, pbuf, acc,
+                      sems, *, D, K, C, S):
+    F1 = 1 + D + C
+    l = pl.program_id(0)
+    b = pl.program_id(1)
+    bits = _corner_bits(D)  # [K, D] python ints
+
+    acc[...] = jnp.zeros_like(acc)
+
+    def _dma(start, slot):
+        return pltpu.make_async_copy(
+            stream_ref.at[l, :, pl.ds(start, _M2)],
+            pbuf.at[slot],
+            sems.at[slot],
+        )
+
+    for k in range(K):  # static unroll over corners
+        off = offs_ref[l, k]
+        p0 = starts_ref[l, k, b, 0]
+        p1 = starts_ref[l, k, b, 1]
+        p3 = starts_ref[l, k, b, 2]
+        p0a = (p0 // 128) * 128  # DMA lane alignment; strays self-mask
+        n1 = pl.cdiv(jnp.maximum(p1 - p0a, 0), _M2)
+        n2 = pl.cdiv(p3, _M2)  # wrap run [0, p3); 0 when no wrap
+        n_sub = n1 + n2
+
+        def chunk_start(j):
+            return jnp.where(j < n1, p0a + j * _M2, (j - n1) * _M2)
+
+        @pl.when(n_sub > 0)
+        def _():
+            _dma(chunk_start(0), 0).start()
+
+        def body(j, carry):
+            slot = jax.lax.rem(j, 2)
+
+            @pl.when(j + 1 < n_sub)
+            def _():
+                _dma(chunk_start(j + 1), 1 - slot).start()
+
+            _dma(chunk_start(j), slot).wait()
+            chunk = pbuf[slot]  # (F1p, M2) f32
+            keys = chunk[0:1, :]
+            frac = chunk[1 : 1 + D, :]
+            g = chunk[1 + D : F1, :]
+
+            # Mask by exact stream POSITION range of the current run.  The
+            # target-locality one-hot alone is NOT sufficient here: chunk
+            # overflow past one wrap-run's end can reach positions the
+            # OTHER run also processes, and those elements are genuine
+            # members (double count).  Position bounds are exact; this
+            # also masks sentinel padding and alignment strays.
+            pos = chunk_start(j) + jax.lax.broadcasted_iota(
+                jnp.int32, (1, _M2), 1)
+            lob = jnp.where(j < n1, p0, 0)
+            hib = jnp.where(j < n1, p1, p3)
+            wk = ((pos >= lob) & (pos < hib)).astype(jnp.float32)
+            for d in range(D):
+                t = frac[d : d + 1, :]
+                wk = wk * (t if bits[k, d] else (1.0 - t))
+
+            # canonical target position within bucket b
+            u = keys.astype(jnp.int32) + off            # [0, 2S)
+            t_idx = u - jnp.where(u >= S, S, 0)         # (s + off) mod S
+            t_loc = t_idx - b * _W2                     # in [0, W2) iff member
+            lo_idx = jax.lax.div(t_loc, _HI)
+            hi_idx = t_loc - lo_idx * _HI
+
+            oh_hi = (
+                jax.lax.broadcasted_iota(jnp.int32, (_HI, _M2), 0) == hi_idx
+            ).astype(jnp.float32)
+            oh_lo = (
+                jax.lax.broadcasted_iota(jnp.int32, (_LO2, _M2), 0) == lo_idx
+            ).astype(jnp.float32)
+
+            pay = jnp.concatenate([wk * g[c : c + 1, :] for c in range(C)], 0)
+            p2 = (pay[:, None, :] * oh_lo[None, :, :]).reshape(C * _LO2, _M2)
+            acc[...] += jax.lax.dot_general(
+                p2, oh_hi,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            return carry
+
+        jax.lax.fori_loop(0, n_sub, body, 0)
+
+    out_ref[0] = acc[...]
+
+
+def bucket_grad_matmul_canonical(
+    sorted_keys: jax.Array,
+    sorted_frac: jax.Array,
+    sorted_grads: jax.Array,
+    corner_offs,
+    *,
+    table_size: int,
+    input_dim: int,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Segment-sum sorted hash-grid updates DIRECTLY into canonical
+    per-level gradient tables.
+
+    Args as :func:`bucket_grad_matmul`, plus ``corner_offs`` [L, 2^D]
+    int32/numpy: the linear-hash corner offsets (``(bits . a) mod S``).
+
+    Returns grad_table [L, S, C] f32 — no rolled intermediate, no adjoint
+    rolls.
+    """
+    import numpy as _np
+
+    L, B = sorted_keys.shape
+    S = int(table_size)
+    D = int(input_dim)
+    K = 1 << D
+    C = sorted_grads.shape[1]
+    F1 = 1 + D + C
+    F1p = -(-F1 // 8) * 8
+    assert S % _W2 == 0, f"table_size {S} must be a multiple of {_W2}"
+    NB = S // _W2
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    pad = _M2 + 256
+    keys_f = jnp.pad(
+        sorted_keys.astype(jnp.float32), ((0, 0), (0, pad)),
+        constant_values=float(S))
+    lanes = jnp.concatenate([sorted_frac, sorted_grads], axis=1)
+    lanes = jnp.pad(lanes.astype(jnp.float32), ((0, 0), (0, 0), (0, pad)))
+    stream = jnp.concatenate([keys_f[:, None, :], lanes], axis=1)
+    stream = jnp.pad(stream, ((0, 0), (0, F1p - F1), (0, 0)))
+
+    offs = jnp.asarray(_np.asarray(corner_offs), jnp.int32)  # [L, K]
+    # Per-(level, corner, bucket) sorted-stream windows.
+    bws = jnp.arange(NB, dtype=jnp.int32) * _W2              # [NB]
+    w0 = (bws[None, None, :] - offs[:, :, None]) % S         # [L, K, NB]
+    w1 = w0 + _W2
+    wrap = w1 > S
+
+    def _ss(keys_l, w0_l, w1_l, wrap_l):
+        p0 = jnp.searchsorted(keys_l, w0_l, side="left")
+        p1 = jnp.searchsorted(keys_l, jnp.minimum(w1_l, S), side="left")
+        p3 = jnp.where(wrap_l,
+                       jnp.searchsorted(keys_l, w1_l - S, side="left"), 0)
+        return jnp.stack([p0, p1, p3], axis=-1)
+
+    starts = jax.vmap(_ss)(sorted_keys, w0, w1, wrap).astype(jnp.int32)
+    # [L, K, NB, 3]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(L, NB),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(
+            (1, C * _LO2, _HI), lambda l, b, starts, offs: (l, 0, b)
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, F1p, _M2), jnp.float32),
+            pltpu.VMEM((C * _LO2, _HI), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    raw = pl.pallas_call(
+        functools.partial(_canonical_kernel, D=D, K=K, C=C, S=S),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((L, C * _LO2, NB * _HI), jnp.float32),
+        interpret=interpret,
+    )(starts, offs, stream)
+    # raw[l, (c, lo), (b, hi)] -> grad[l, c, s], s = b*W2 + lo*HI + hi
+    raw = raw.reshape(L, C, _LO2, NB, _HI)
+    grad_cs = raw.transpose(0, 1, 3, 2, 4).reshape(L, C, S)
+    return grad_cs.transpose(0, 2, 1)  # [L, S, C]

@@ -259,8 +259,8 @@ def _forward(x01, table, spec: HashGridSpec, table_dtype):
     return out, (base, frac, vals)
 
 
-def _backward(spec: HashGridSpec, table_dtype, shape_LSC, res, g):
-    from .bucket_matmul import bucket_grad_matmul
+def _backward(spec: HashGridSpec, table_dtype, backward, shape_LSC, res, g):
+    from .bucket_matmul import bucket_grad_matmul, bucket_grad_matmul_canonical
 
     L, S, C = shape_LSC
     D = spec.input_dim
@@ -280,21 +280,30 @@ def _backward(spec: HashGridSpec, table_dtype, shape_LSC, res, g):
     sf = jnp.stack(sorted_all[1 : 1 + D], axis=1)  # [L, D, B]
     sg = jnp.stack(sorted_all[1 + D :], axis=1)  # [L, C, B]
 
-    grad_rolled = bucket_grad_matmul(
-        sk, sf, sg, table_size=S, input_dim=D
-    )  # [L, C*K, S]
-
-    # Inverse rolls: canonical_grad[l, j, c] = sum_k rolled_grad[l, c*K+k]
-    # rolled forward used roll(-off); its adjoint is roll(+off).
     offs = corner_offsets(spec)  # [L, K] numpy
-    gr = grad_rolled.reshape(L, C, n_corners, S)
-    acc = 0.0
-    for k in range(n_corners):  # static shifts (see build_rolled_table)
-        acc = acc + jnp.stack(
-            [jnp.roll(gr[l, :, k, :], int(offs[l, k]), axis=-1)
-             for l in range(L)]
-        )  # [L, C, S]
-    grad_table = acc.transpose(0, 2, 1)  # [L, S, C]
+
+    if backward == "canonical":
+        # One kernel pass emits the canonical [L, S, C] gradient: the
+        # per-corner windows of the sorted stream are walked in-kernel, so
+        # neither the 512 MB rolled gradient nor the 8 adjoint corner
+        # rolls exist (docs/profile_r3.md A4+A5 ~ 24 ms -> ~6 ms).
+        grad_table = bucket_grad_matmul_canonical(
+            sk, sf, sg, offs, table_size=S, input_dim=D)
+    else:
+        grad_rolled = bucket_grad_matmul(
+            sk, sf, sg, table_size=S, input_dim=D
+        )  # [L, C*K, S]
+
+        # Inverse rolls: canonical_grad[l, j, c] = sum_k rolled_grad[l, c*K+k]
+        # rolled forward used roll(-off); its adjoint is roll(+off).
+        gr = grad_rolled.reshape(L, C, n_corners, S)
+        acc = 0.0
+        for k in range(n_corners):  # static shifts (see build_rolled_table)
+            acc = acc + jnp.stack(
+                [jnp.roll(gr[l, :, k, :], int(offs[l, k]), axis=-1)
+                 for l in range(L)]
+            )  # [L, C, S]
+        grad_table = acc.transpose(0, 2, 1)  # [L, S, C]
 
     # ----- grad wrt x01: analytic through the trilinear weights ---------
     vals_kc = vals.reshape(B, L, n_corners, C).astype(jnp.float32)
@@ -323,28 +332,31 @@ def coherent_encode_takevjp(
     return out
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
 def coherent_encode(
-    x01: jax.Array, table: jax.Array, spec: HashGridSpec, table_dtype=jnp.float32
+    x01: jax.Array, table: jax.Array, spec: HashGridSpec,
+    table_dtype=jnp.float32, backward: str = "bucket",
 ) -> jax.Array:
     """Fast coherent hash encoding: [B, D] in [0,1] -> [B, L*C].
 
     Forward: rolled-table wide-row gather.  Backward: deterministic
-    sort + MXU bucket-matmul (table grad) + analytic trilinear (input grad).
+    sort + MXU bucket-matmul (table grad) + analytic trilinear (input
+    grad); ``backward`` picks the kernel — "bucket" (rolled-gradient +
+    adjoint rolls) or "canonical" (direct table-space accumulation).
     Numerics match ``coherent_encode_reference`` to the rolled-table dtype.
     """
     out, _ = _forward(x01, table, spec, table_dtype)
     return out
 
 
-def _fwd(x01, table, spec, table_dtype):
+def _fwd(x01, table, spec, table_dtype, backward):
     out, res = _forward(x01, table, spec, table_dtype)
     return out, (res, table.shape)
 
 
-def _bwd(spec, table_dtype, carry, g):
+def _bwd(spec, table_dtype, backward, carry, g):
     res, shape_LSC = carry
-    return _backward(spec, table_dtype, shape_LSC, res, g)
+    return _backward(spec, table_dtype, backward, shape_LSC, res, g)
 
 
 coherent_encode.defvjp(_fwd, _bwd)

@@ -218,3 +218,58 @@ class TestPrebuiltAndDtype:
         np.testing.assert_allclose(
             np.asarray(f32), np.asarray(bf16), atol=2e-2, rtol=2e-2
         )
+
+
+SPEC14 = HashGridSpec(num_levels=5, base_resolution=4, log2_hashmap_size=14)
+
+
+class TestCanonicalBackward:
+    """The canonical-target kernel (direct table-space accumulation, no
+    rolled gradient / adjoint rolls) must match the oracle gradients."""
+
+    def _grad_pair(self, x01, rng):
+        table = SPEC14.init(jax.random.key(1))
+        ct = jnp.asarray(
+            rng.normal(size=(x01.shape[0], SPEC14.output_dim)).astype(np.float32))
+
+        def loss(fn, *extra):
+            return lambda x, t: jnp.vdot(fn(x, t, SPEC14, *extra), ct)
+
+        gx_r, gt_r = jax.grad(loss(coherent_encode_reference), (0, 1))(x01, table)
+        gx_c, gt_c = jax.grad(
+            loss(coherent_encode, jnp.float32, "canonical"), (0, 1))(x01, table)
+        return (gx_r, gt_r), (gx_c, gt_c)
+
+    def test_grads_match_oracle(self, rng):
+        x01 = _points(rng, 517)
+        (gx_r, gt_r), (gx_c, gt_c) = self._grad_pair(x01, rng)
+        np.testing.assert_allclose(np.asarray(gt_r), np.asarray(gt_c), atol=2e-5)
+        np.testing.assert_allclose(np.asarray(gx_r), np.asarray(gx_c), atol=1e-5)
+
+    def test_duplicate_heavy_points(self, rng):
+        x01 = jnp.concatenate(
+            [jnp.full((700, 3), 0.625, jnp.float32), _points(rng, 68)])
+        (gx_r, gt_r), (gx_c, gt_c) = self._grad_pair(x01, rng)
+        np.testing.assert_allclose(np.asarray(gt_r), np.asarray(gt_c), atol=3e-4)
+
+    def test_boundary_points(self, rng):
+        """Points at cell/table boundaries stress the wrap windows (the
+        per-corner stream window crosses the table end for some buckets)."""
+        edges = jnp.asarray(rng.choice([0.0, 0.999999, 0.5, 0.25],
+                                       size=(256, 3)).astype(np.float32))
+        x01 = jnp.concatenate([edges, _points(rng, 64)])
+        (gx_r, gt_r), (gx_c, gt_c) = self._grad_pair(x01, rng)
+        np.testing.assert_allclose(np.asarray(gt_r), np.asarray(gt_c), atol=3e-4)
+
+    def test_encoder_spec_dispatch(self, rng):
+        """backward='canonical' requires S % 16384 == 0 and must produce the
+        same training gradients as the default path."""
+        from neuralvolumetricreconstructionformedicalimages_tpu.models.encoders import (
+            HashEncoderSpec)
+
+        enc = HashEncoderSpec(grid=SPEC14, backward="canonical")
+        params = enc.init(jax.random.key(0))
+        x = jnp.asarray(rng.uniform(-0.2, 0.2, (97, 3)).astype(np.float32))
+        out = enc.apply(params, x, 0.2)
+        ref = HashEncoderSpec(grid=SPEC14, fast=False).apply(params, x, 0.2)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
