@@ -225,6 +225,27 @@ def get_near_far(geo: ConeGeometry, tolerance: float = 0.005) -> Tuple[float, fl
     return float(near), float(far)
 
 
+def get_near_far_tilted(geo: ConeGeometry, tolerance: float = 0.005) -> Tuple[float, float]:
+    """Tilt-aware near/far: full 3D corner distance instead of in-plane.
+
+    Parity with the reference's (unused) tilt-aware variant
+    (``tigre.py:589-610``): under a laminography tilt the source orbit
+    leaves the z=0 plane, so the conservative bound uses the distance to
+    all 8 corners of the (offset) volume box rather than the in-plane
+    projection that ``get_near_far`` uses.
+    """
+    off = np.asarray(geo.offOrigin, dtype=np.float64)
+    s = np.asarray(geo.sVoxel, dtype=np.float64)
+    dists = [
+        np.linalg.norm(off + np.array([sx, sy, sz]) * s / 2)
+        for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)
+    ]
+    dist_max = float(np.max(dists))
+    near = max(0.0, geo.DSO - dist_max - tolerance)
+    far = min(geo.DSO * 2, geo.DSO + dist_max + tolerance)
+    return float(near), float(far)
+
+
 def voxel_grid(geo: ConeGeometry) -> np.ndarray:
     """World coordinates of voxel centers, [n1, n2, n3, 3] (``tigre.py:388-400``)."""
     n1, n2, n3 = geo.nVoxel

@@ -284,6 +284,11 @@ class Trainer:
             order = jnp.asarray(self._view_order(idx_epoch))
             self.state, losses = self._epoch_fn(self.state, self._arrays, order, k_epoch)
             losses = np.asarray(losses)
+            if not np.isfinite(losses).all():
+                # numerical-health check, parity with the renderer's
+                # nan/inf printout (reference render.py:142-144)
+                print(f"! [Numerical Error] epoch {idx_epoch}: loss contains "
+                      f"nan/inf ({losses})")
             self.global_step += self.steps_per_epoch
             timer.tick()
 

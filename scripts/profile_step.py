@@ -46,9 +46,13 @@ def rep(fn, reps=REPS):
     """Repeat a traced fn ``reps`` times with a data dependency chain."""
     def body(c, _):
         o = fn(c)
-        # fold a scalar back in so scan iterations can't be collapsed
-        z = (jax.tree_util.tree_leaves(o)[-1].ravel()[0] * 0).astype(c.dtype)
-        return c + z, None
+        # Consume EVERY output leaf: using a single leaf lets XLA DCE the
+        # rest of the computation (e.g. the whole table gradient when only
+        # an MLP-bias grad leaf fed the chain — first r3 profile attempt).
+        # Float sums * 0 are NOT constant-folded (NaN-safety), so the work
+        # stays live at negligible reduction cost.
+        z = sum(jnp.sum(l) for l in jax.tree_util.tree_leaves(o))
+        return c + (z * 0).astype(c.dtype), None
 
     @jax.jit
     def run(x):
@@ -64,8 +68,8 @@ def rep2(fn, reps=REPS):
     def body_of(aux):
         def body(c, _):
             o = fn(c, aux)
-            z = (jax.tree_util.tree_leaves(o)[-1].ravel()[0] * 0).astype(c.dtype)
-            return c + z, None
+            z = sum(jnp.sum(l) for l in jax.tree_util.tree_leaves(o))
+            return c + (z * 0).astype(c.dtype), None
         return body
 
     @jax.jit

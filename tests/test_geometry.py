@@ -181,3 +181,17 @@ class TestRaysForPixels:
             np.asarray(ro), np.asarray(ro_full)[rows, cols], atol=1e-6)
         np.testing.assert_allclose(
             np.asarray(rd), np.asarray(rd_full)[rows, cols], atol=1e-6)
+
+
+def test_near_far_tilted_bounds_in_plane_variant():
+    """3D-corner near/far must be at least as wide as the in-plane bound
+    and strictly wider when the volume has z extent."""
+    geo = G.ConeGeometry(
+        DSD=1.5, DSO=1.0, nDetector=(8, 8), dDetector=(0.01, 0.01),
+        nVoxel=(16, 16, 32), dVoxel=(0.01, 0.01, 0.01), mode="parallel",
+        tilt_angle=29.0,
+    )
+    n0, f0 = G.get_near_far(geo)
+    n1, f1 = G.get_near_far_tilted(geo)
+    assert n1 < n0 and f1 > f0
+    assert 0.0 <= n1 < f1 <= 2 * geo.DSO
