@@ -358,8 +358,10 @@ class Trainer:
         }
         image_pred = None
         if image_gt is not None and dset.voxels is not None:
+            netchunk = int(self.cfg["render"].get("netchunk", 262144))
             image_pred = np.asarray(
-                query_field(dset.voxels, eval_params, self.spec))[..., 0]
+                query_field(dset.voxels, eval_params, self.spec,
+                            tile=netchunk))[..., 0]
             metrics["psnr_3d"] = get_psnr_3d(image_pred, image_gt)
             metrics["ssim_3d"] = get_ssim_3d(image_pred, image_gt)
 
