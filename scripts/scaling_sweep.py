@@ -36,6 +36,12 @@ def main() -> None:
     p.add_argument("--n-samples", type=int, default=64)
     p.add_argument("--log2-table", type=int, default=15)
     p.add_argument("--steps", type=int, default=8)
+    p.add_argument("--backward", default="take",
+                   help="encoder backward: 'take' (pure XLA — the right "
+                        "choice on the CPU mesh, where the Pallas kernel "
+                        "would run in interpret mode and measure the "
+                        "interpreter, not the collective layer) | 'bucket' "
+                        "| 'canonical'")
     p.add_argument("--out", default=None, help="optional markdown report path")
     args = p.parse_args()
 
@@ -73,6 +79,7 @@ def main() -> None:
     cfg["render"]["n_samples"] = args.n_samples
     cfg["train"]["n_rays"] = args.n_rays
     cfg["encoder"]["log2_hashmap_size"] = args.log2_table
+    cfg["encoder"]["backward"] = args.backward
 
     n_views, H, W = 8, 64, 64
     geo = G.ConeGeometry(
@@ -126,6 +133,7 @@ def main() -> None:
             f.write(f"Platform: {args.platform} ({n_dev_avail} devices); "
                     f"global batch {args.n_rays} rays x {args.n_samples} "
                     f"samples; 2^{args.log2_table} table; "
+                    f"backward={args.backward}; "
                     f"{args.steps}-step scanned epochs, best of 3.\n\n")
             f.write("| devices | rays/s | efficiency vs 1 dev |\n|---|---|---|\n")
             for r in rows:
