@@ -273,3 +273,24 @@ class TestCanonicalBackward:
         out = enc.apply(params, x, 0.2)
         ref = HashEncoderSpec(grid=SPEC14, fast=False).apply(params, x, 0.2)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+
+@pytest.mark.parametrize("level_dim,input_dim", [(1, 3), (4, 3), (2, 2)])
+def test_kernel_channel_and_dim_variants(rng, level_dim, input_dim):
+    """The reference dispatches C in {1,2,4,8} and D in {2,3}
+    (hashencoder.cu:301-369); both bucket kernels must handle them."""
+    spec = HashGridSpec(num_levels=4, base_resolution=4, level_dim=level_dim,
+                        input_dim=input_dim, log2_hashmap_size=14)
+    table = spec.init(jax.random.key(1))
+    x01 = jnp.asarray(rng.uniform(0, 1, (217, input_dim)).astype(np.float32))
+    ct = jnp.asarray(rng.normal(size=(217, spec.output_dim)).astype(np.float32))
+
+    def loss(fn, *extra):
+        return lambda t: jnp.vdot(fn(x01, t, spec, *extra), ct)
+
+    gt_ref = jax.grad(loss(coherent_encode_reference))(table)
+    for backward in ("bucket", "canonical"):
+        gt = jax.grad(loss(coherent_encode, jnp.float32, backward))(table)
+        np.testing.assert_allclose(
+            np.asarray(gt_ref), np.asarray(gt), atol=2e-5,
+            err_msg=f"backward={backward}")
