@@ -299,31 +299,25 @@ def _canonical_kernel(starts_ref, offs_ref, stream_ref, out_ref, pbuf, acc,
             sems.at[slot],
         )
 
-    for k in range(K):  # static unroll over corners
-        off = offs_ref[l, k]
-        p0 = starts_ref[l, k, b, 0]
-        p1 = starts_ref[l, k, b, 1]
-        p3 = starts_ref[l, k, b, 2]
-        p0a = (p0 // 128) * 128  # DMA lane alignment; strays self-mask
-        n1 = pl.cdiv(jnp.maximum(p1 - p0a, 0), _M2)
-        n2 = pl.cdiv(p3, _M2)  # wrap run [0, p3); 0 when no wrap
-        n_sub = n1 + n2
+    def run(k, off, base, n, lob, hib):
+        """Process one contiguous stream run [base, base + n*M2) for
+        corner ``k``, masking positions outside [lob, hib).
 
-        def chunk_start(j):
-            return jnp.where(j < n1, p0a + j * _M2, (j - n1) * _M2)
-
-        @pl.when(n_sub > 0)
+        All DMA offsets are affine in the loop index (base + j*M2) —
+        scalar ``select``s feeding DMA offsets crash the Mosaic compiler.
+        """
+        @pl.when(n > 0)
         def _():
-            _dma(chunk_start(0), 0).start()
+            _dma(base, 0).start()
 
         def body(j, carry):
             slot = jax.lax.rem(j, 2)
 
-            @pl.when(j + 1 < n_sub)
+            @pl.when(j + 1 < n)
             def _():
-                _dma(chunk_start(j + 1), 1 - slot).start()
+                _dma(base + (j + 1) * _M2, 1 - slot).start()
 
-            _dma(chunk_start(j), slot).wait()
+            _dma(base + j * _M2, slot).wait()
             chunk = pbuf[slot]  # (F1p, M2) f32
             keys = chunk[0:1, :]
             frac = chunk[1 : 1 + D, :]
@@ -335,10 +329,8 @@ def _canonical_kernel(starts_ref, offs_ref, stream_ref, out_ref, pbuf, acc,
             # OTHER run also processes, and those elements are genuine
             # members (double count).  Position bounds are exact; this
             # also masks sentinel padding and alignment strays.
-            pos = chunk_start(j) + jax.lax.broadcasted_iota(
+            pos = base + j * _M2 + jax.lax.broadcasted_iota(
                 jnp.int32, (1, _M2), 1)
-            lob = jnp.where(j < n1, p0, 0)
-            hib = jnp.where(j < n1, p1, p3)
             wk = ((pos >= lob) & (pos < hib)).astype(jnp.float32)
             for d in range(D):
                 t = frac[d : d + 1, :]
@@ -368,7 +360,18 @@ def _canonical_kernel(starts_ref, offs_ref, stream_ref, out_ref, pbuf, acc,
             )
             return carry
 
-        jax.lax.fori_loop(0, n_sub, body, 0)
+        jax.lax.fori_loop(0, n, body, 0)
+
+    for k in range(K):  # static unroll over corners
+        off = offs_ref[l, k]
+        p0 = starts_ref[l, k, b, 0]
+        p1 = starts_ref[l, k, b, 1]
+        p3 = starts_ref[l, k, b, 2]
+        p0a = (p0 // 128) * 128  # DMA lane alignment; strays self-mask
+        # p1 >= p0 >= p0a always, so no clamp needed on the count.
+        run(k, off, p0a, pl.cdiv(p1 - p0a, _M2), p0, p1)
+        # wrap run [0, p3); count 0 when the window does not wrap
+        run(k, off, 0, pl.cdiv(p3, _M2), 0, p3)
 
     out_ref[0] = acc[...]
 
