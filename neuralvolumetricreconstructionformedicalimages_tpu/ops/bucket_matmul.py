@@ -277,6 +277,12 @@ def bucket_grad_matmul_reference(
 # accumulates straight into canonical table positions.  Output is
 # [L, C, S]-shaped (64 MB at chest scale, 8x less than the rolled grad),
 # and the adjoint rolls disappear entirely.
+#
+# MEASURED OUTCOME (docs/profile_r3.md A4b): 65.6 ms vs the rolled
+# kernel's 14.3 + 9.5 ms — 2.7x SLOWER overall, because every stream
+# element is re-visited once per corner (8 one-hot matmul passes) while
+# the rolled kernel computes all 8 corners from a single visit.  Kept as
+# a correct, tested alternative; ``backward="bucket"`` stays the default.
 
 _W2 = 16384           # canonical bucket width = _LO2 * _HI
 _LO2 = _W2 // _HI     # 128 (VPU factor; HI=128 stays the MXU factor)
@@ -362,11 +368,17 @@ def _canonical_kernel(starts_ref, offs_ref, stream_ref, out_ref, pbuf, acc,
 
         jax.lax.fori_loop(0, n, body, 0)
 
+    NB = pl.num_programs(1)
     for k in range(K):  # static unroll over corners
         off = offs_ref[l, k]
-        p0 = starts_ref[l, k, b, 0]
-        p1 = starts_ref[l, k, b, 1]
-        p3 = starts_ref[l, k, b, 2]
+        # starts is [L, K*NB*3]: a flat minor dim — SMEM pads EVERY minor
+        # dim to 128 lanes, so a [L, K, NB, 3] layout would inflate 16x8x
+        # 32x3 ints to 2 MB and overflow the 1 MB SMEM (chest-scale
+        # compile failure); flattened it stays ~50 KB.
+        idx = (k * NB + b) * 3
+        p0 = starts_ref[l, idx]
+        p1 = starts_ref[l, idx + 1]
+        p3 = starts_ref[l, idx + 2]
         p0a = (p0 // 128) * 128  # DMA lane alignment; strays self-mask
         # p1 >= p0 >= p0a always, so no clamp needed on the count.
         run(k, off, p0a, pl.cdiv(p1 - p0a, _M2), p0, p1)
@@ -433,7 +445,7 @@ def bucket_grad_matmul_canonical(
         return jnp.stack([p0, p1, p3], axis=-1)
 
     starts = jax.vmap(_ss)(sorted_keys, w0, w1, wrap).astype(jnp.int32)
-    # [L, K, NB, 3]
+    starts = starts.reshape(L, K * NB * 3)  # flat minor: see kernel note
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
