@@ -226,6 +226,7 @@ def _run_stage(stage: str, budget_s: float):
 def parent_main() -> None:
     t_hard_end = time.time() + TOTAL_BUDGET_S - RESERVE_S
     best = None
+    wedged = False  # set when any stage is abandoned on timeout
 
     def record(rate: float, note: str) -> None:
         nonlocal best
@@ -266,6 +267,7 @@ def parent_main() -> None:
                 break
             if timed_out:
                 abandoned = True
+                wedged = True
                 # Only "tiny" retries after a timeout (a wedged worker can
                 # recover mid-bench); an abandoned child on a later stage
                 # may still hold the chip, so stop spawning against it.

@@ -155,7 +155,9 @@ def _make_shard_body(cfg: Dict[str, Any], spec: DensityFieldSpec, opt,
         aux = {"tv_loss": lax.psum(out["tv_loss"], DATA_AXIS)}
         loss, _ = loss_calc(out["acc"], batch["projs"], mask, aux)
         if has_fine:
-            loss0, _ = loss_calc(out["acc0"], batch["projs"], mask, aux)
+            # Regularizers counted once (primary loss only) — matches the
+            # single-device path in train/trainer.py.
+            loss0, _ = loss_calc(out["acc0"], batch["projs"], mask)
             loss = loss + loss0
         return loss
 

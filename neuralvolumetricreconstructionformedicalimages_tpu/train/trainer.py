@@ -123,7 +123,10 @@ def make_epoch_fn(cfg: Dict[str, Any], spec, steps_per_epoch: int,
         aux = {"tv_loss": out["tv_loss"]}
         loss, _ = loss_calc(out["acc"], batch["projs"], mask, aux)
         if has_fine:
-            loss0, _ = loss_calc(out["acc0"], batch["projs"], mask, aux)
+            # Regularizer terms (tv/small/zero) are counted ONCE — on the
+            # primary (fine) loss above; the coarse-pass loss gets no aux
+            # so their effective weight is independent of n_fine.
+            loss0, _ = loss_calc(out["acc0"], batch["projs"], mask)
             loss = loss + loss0
         return loss
 
