@@ -163,7 +163,11 @@ def _make_shard_body(cfg: Dict[str, Any], spec: DensityFieldSpec, opt,
 
     def step(state, arrays, views, key):
         # Distinct rays per data shard; identical z grid across sample shards.
-        k = jax.random.fold_in(key, lax.axis_index(DATA_AXIS))
+        # With a single data shard the key stays unfolded so a mesh-of-1
+        # epoch is bit-identical to the unsharded path (exactness tests and
+        # the shard_map-overhead measurement rely on this).
+        k = (key if n_data == 1
+             else jax.random.fold_in(key, lax.axis_index(DATA_AXIS)))
         k_pix, k_render = jax.random.split(k)
         pix_keys = jax.random.split(k_pix, n_batch)
 

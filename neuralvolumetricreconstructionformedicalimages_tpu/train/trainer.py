@@ -222,11 +222,35 @@ class Trainer:
 
         self.logger.add_text("parameters", json.dumps(_jsonable(cfg), indent=2))
 
-        # Jitted epoch
-        self._epoch_fn = make_epoch_fn(
-            cfg, self.spec, self.steps_per_epoch, self.n_rays, self.n_batch,
-            self.use_mask, geo=self.train_dset.geo,
-            near=self.train_dset.near, far=self.train_dset.far)
+        # Jitted epoch.  When ``parallel.mesh`` names a multi-device mesh
+        # (e.g. ``{data: 4, sample: 2}``) the epoch runs as a shard_map over
+        # it: rays data-parallel, optional depth-sample split, exact psum'd
+        # global losses (parallel/step.py).  Same signature either way —
+        # checkpoints, eval and resume are mesh-agnostic because the state
+        # stays fully replicated (P() in/out specs).
+        self.mesh = None
+        mesh_cfg = cfg.get("parallel", {}).get("mesh")
+        if mesh_cfg:
+            from ..parallel.mesh import MeshSpec, make_mesh
+
+            mspec = MeshSpec.from_config(mesh_cfg)
+            # a 1-device mesh is honored too (force_mesh measurement mode)
+            if mspec.n_devices > 1 or bool(cfg["parallel"].get("force_mesh")):
+                self.mesh = make_mesh(mspec)
+
+        if self.mesh is not None:
+            from ..parallel.step import make_sharded_epoch_fn
+
+            self._epoch_fn = make_sharded_epoch_fn(
+                cfg, self.spec, self.mesh, self.steps_per_epoch,
+                n_rays=self.n_rays, n_batch=self.n_batch,
+                use_mask=self.use_mask, geo=self.train_dset.geo,
+                near=self.train_dset.near, far=self.train_dset.far)
+        else:
+            self._epoch_fn = make_epoch_fn(
+                cfg, self.spec, self.steps_per_epoch, self.n_rays, self.n_batch,
+                self.use_mask, geo=self.train_dset.geo,
+                near=self.train_dset.near, far=self.train_dset.far)
         self._arrays = self.train_dset.arrays()
 
     # -- persistence -----------------------------------------------------
