@@ -148,7 +148,10 @@ def _kernel(starts_ref, stream_ref, out_ref, pbuf, acc, sems, *, D, K, C):
     # Write the accumulator layout raw: (F2*LO, HI).  The (f, lo, b, hi)
     # -> table-column rearrangement happens outside the kernel (a cheap
     # XLA transpose); Mosaic cannot reshape across the minor dimension.
-    out_ref[0] = acc[...]
+    # In-bucket accumulation is always f32; only this final store rounds
+    # when the caller asked for a bf16 gradient (halves the table-shaped
+    # output traffic, docs/profile_r3.md A4).
+    out_ref[0] = acc[...].astype(out_ref.dtype)
 
 
 def bucket_grad_matmul(
@@ -159,6 +162,7 @@ def bucket_grad_matmul(
     table_size: int,
     input_dim: int,
     interpret: bool | None = None,
+    out_dtype=jnp.float32,
 ) -> jax.Array:
     """Segment-sum sorted hash-grid updates into per-level gradient tables.
 
@@ -169,9 +173,11 @@ def bucket_grad_matmul(
       table_size: padded per-level table length (multiple of 2048).
       input_dim: D (2 or 3).
       interpret: force Pallas interpret mode (defaults to True off-TPU).
+      out_dtype: dtype of the emitted rolled gradient (f32 or bf16; the
+        in-kernel bucket accumulation is f32 either way).
 
     Returns:
-      grad_rolled [L, C*K, table_size] f32 (K = 2^D) where
+      grad_rolled [L, C*K, table_size] ``out_dtype`` (K = 2^D) where
       ``grad_rolled[l, c*K + k, s] = sum over updates with key s of w_k * g_c``
       and ``w_k`` is the trilinear weight of corner ``k``.
     """
@@ -221,7 +227,7 @@ def bucket_grad_matmul(
     raw = pl.pallas_call(
         functools.partial(_kernel, D=D, K=K, C=C),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((L, C * K * _LO, NB * _HI), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((L, C * K * _LO, NB * _HI), out_dtype),
         interpret=interpret,
     )(starts, stream)
     # raw[l, (f, lo), (b, hi)] -> grad[l, f, s] with s = b*W + lo*HI + hi.

@@ -290,8 +290,15 @@ def _backward(spec: HashGridSpec, table_dtype, backward, shape_LSC, res, g):
         grad_table = bucket_grad_matmul_canonical(
             sk, sf, sg, offs, table_size=S, input_dim=D)
     else:
+        # The rolled gradient + adjoint rolls are table-shaped (batch-
+        # independent) HBM traffic — the step's dominant fixed cost
+        # (docs/profile_r3.md A4+A5).  With a bf16 gather table the rolled
+        # GRADIENT is emitted in bf16 too, halving both the kernel's
+        # output write and the roll round-trips; the in-kernel bucket sums
+        # and the cross-corner accumulation below stay f32, so only the
+        # per-(corner, entry) partial sums round once.
         grad_rolled = bucket_grad_matmul(
-            sk, sf, sg, table_size=S, input_dim=D
+            sk, sf, sg, table_size=S, input_dim=D, out_dtype=table_dtype,
         )  # [L, C*K, S]
 
         # Inverse rolls: canonical_grad[l, j, c] = sum_k rolled_grad[l, c*K+k]
@@ -302,7 +309,7 @@ def _backward(spec: HashGridSpec, table_dtype, backward, shape_LSC, res, g):
             acc = acc + jnp.stack(
                 [jnp.roll(gr[l, :, k, :], int(offs[l, k]), axis=-1)
                  for l in range(L)]
-            )  # [L, C, S]
+            ).astype(jnp.float32)  # [L, C, S]
         grad_table = acc.transpose(0, 2, 1)  # [L, S, C]
 
     # ----- grad wrt x01: analytic through the trilinear weights ---------

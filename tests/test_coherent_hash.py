@@ -294,3 +294,40 @@ def test_kernel_channel_and_dim_variants(rng, level_dim, input_dim):
         np.testing.assert_allclose(
             np.asarray(gt_ref), np.asarray(gt), atol=2e-5,
             err_msg=f"backward={backward}")
+
+
+class TestBf16GradientPath:
+    """With a bf16 gather table the backward emits the rolled gradient in
+    bf16 (half the table-shaped fixed traffic); only the per-(corner,
+    entry) bucket sums round — cross-corner accumulation stays f32."""
+
+    def test_bucket_kernel_bf16_output_close_to_reference(self, rng):
+        L, B, S = 2, 1024, 1 << 12
+        keys = jnp.asarray(
+            np.sort(rng.integers(0, S, (L, B)).astype(np.int32), axis=-1))
+        frac = jnp.asarray(rng.uniform(0, 1, (L, 3, B)).astype(np.float32))
+        g = jnp.asarray(rng.normal(size=(L, 2, B)).astype(np.float32))
+        out = bucket_grad_matmul(keys, frac, g, table_size=S, input_dim=3,
+                                 out_dtype=jnp.bfloat16)
+        assert out.dtype == jnp.bfloat16
+        ref = bucket_grad_matmul_reference(keys, frac, g, table_size=S,
+                                           input_dim=3)
+        np.testing.assert_allclose(
+            np.asarray(out, np.float32), np.asarray(ref), atol=5e-2, rtol=1e-2)
+
+    def test_table_grads_bf16_close_to_f32(self, rng):
+        x01 = _points(rng, 333)
+        table = SPEC.init(jax.random.key(1))
+        ct = jnp.asarray(rng.normal(size=(333, SPEC.output_dim)).astype(np.float32))
+
+        def loss(dtype):
+            return lambda x, t: jnp.vdot(coherent_encode(x, t, SPEC, dtype), ct)
+
+        gx32, gt32 = jax.grad(loss(jnp.float32), (0, 1))(x01, table)
+        gx16, gt16 = jax.grad(loss(jnp.bfloat16), (0, 1))(x01, table)
+        assert gt16.dtype == jnp.float32  # canonical gradient stays f32
+        scale = float(np.abs(np.asarray(gt32)).max())
+        np.testing.assert_allclose(np.asarray(gt16), np.asarray(gt32),
+                                   atol=2e-2 * scale, rtol=2e-2)
+        np.testing.assert_allclose(np.asarray(gx16), np.asarray(gx32),
+                                   atol=5e-2, rtol=5e-2)
