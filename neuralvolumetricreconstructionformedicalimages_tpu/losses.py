@@ -242,6 +242,11 @@ _REGULARIZERS = {
     "zero": lambda p, t, aux: jnp.mean(                      # loss.py:166-180
         (jnp.abs(t) <= 1e-5).astype(p.dtype) * p**2),
     "tv": lambda p, t, aux: aux.get("tv_loss", 0.0),         # render.py:129-131
+    # density TV along rays (loss.py:237-248): mean |Delta sigma| — the
+    # gradient-active sparse-view smoothness prior.  The renderer supplies
+    # it as aux["tv_density"]; "tvd:0.05"-style suffixes set the weight
+    # (default 0.1 matching the reference's lambda_tv).
+    "tvd": lambda p, t, aux: aux.get("tv_density", 0.0),
 }
 
 
@@ -264,16 +269,20 @@ def get_loss_fn(name: str = "mse", axis_name=None):
     parts = [p.strip().lower() for p in str(name or "mse").split("+") if p.strip()]
     if not parts:
         parts = ["mse"]
-    primary, regs = parts[0], parts[1:]
+    primary, reg_parts = parts[0], parts[1:]
     if primary in ("masked_mse", "mse_mask"):
         primary = "mse"  # masking is orthogonal (applied via the mask arg)
     if primary not in _PRIMARY_LOSSES:
         raise NotImplementedError(
             f"Unknown loss {primary!r}; choose from {sorted(_PRIMARY_LOSSES)}")
-    for r in regs:
+    regs = []  # (name, weight); "tvd:0.05" syntax sets a weight, default 1
+    for rp in reg_parts:
+        r, _, wtxt = rp.partition(":")
         if r not in _REGULARIZERS:
             raise NotImplementedError(
                 f"Unknown loss regularizer {r!r}; choose from {sorted(_REGULARIZERS)}")
+        w = float(wtxt) if wtxt else (0.1 if r == "tvd" else 1.0)
+        regs.append((r, w))
     per_elem, comp_key = _PRIMARY_LOSSES[primary]
 
     def _sum(x):
@@ -294,9 +303,9 @@ def get_loss_fn(name: str = "mse", axis_name=None):
         aux = aux or {}
         total = _gmean(per_elem(pred, target), mask)
         components = {comp_key: total}
-        for r in regs:
-            if r == "tv":  # aux passthrough; caller pre-reduces (see doc)
-                term = aux.get("tv_loss", 0.0)
+        for r, w in regs:
+            if r in ("tv", "tvd"):  # aux passthrough; caller pre-reduces
+                term = _REGULARIZERS[r](pred, target, aux)
             elif r == "small":
                 term = _gmean(pred**2)
             elif r == "zero":
@@ -304,6 +313,7 @@ def get_loss_fn(name: str = "mse", axis_name=None):
                               * pred**2)
             else:  # pragma: no cover - guarded above
                 term = _REGULARIZERS[r](pred, target, aux)
+            term = term * w
             components[f"loss_{r}"] = term
             total = total + term
         components["loss"] = total

@@ -150,9 +150,10 @@ def _make_shard_body(cfg: Dict[str, Any], spec: DensityFieldSpec, opt,
             params_fine=params.get("fine") if has_fine else None,
             spec_fine=spec if has_fine else None,
         )
-        # tv_loss is a SUM over local rays; the global term is the psum
-        # (each shard renders distinct rays).
-        aux = {"tv_loss": lax.psum(out["tv_loss"], DATA_AXIS)}
+        # tv_loss is a SUM over local rays -> psum; tv_density is a MEAN
+        # over local rays (equal counts per shard) -> pmean.
+        aux = {"tv_loss": lax.psum(out["tv_loss"], DATA_AXIS),
+               "tv_density": lax.pmean(out["tv_density"], DATA_AXIS)}
         loss, _ = loss_calc(out["acc"], batch["projs"], mask, aux)
         if has_fine:
             # Regularizers counted once (primary loss only) — matches the

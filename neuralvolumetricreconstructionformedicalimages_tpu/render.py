@@ -79,7 +79,14 @@ def render_rays(
         raw = fine_spec.apply(params_fine, pts)
         acc, _ = raw2outputs(raw, z_vals, rays_d, raw_noise_std, k_noise2)
 
-    ret.update(acc=acc, pts=pts, tv_loss=0.1 * tv_on_points(pts))
+    # tv_loss: TV on sampled POINT POSITIONS (reference render.py:129-131)
+    # — parameter-independent, so it shifts the loss value but has zero
+    # gradient; replicated for parity.  tv_density: TV on the predicted
+    # densities along each ray (reference loss.py:237-248) — the
+    # gradient-ACTIVE sparse-view smoothness lever, consumed by the "tvd"
+    # loss regularizer (losses.get_loss_fn).
+    ret.update(acc=acc, pts=pts, tv_loss=0.1 * tv_on_points(pts),
+               tv_density=jnp.mean(jnp.abs(raw[..., 1:, 0] - raw[..., :-1, 0])))
     return ret
 
 

@@ -120,7 +120,7 @@ def make_epoch_fn(cfg: Dict[str, Any], spec, steps_per_epoch: int,
             spec_fine=spec if has_fine else None,
         )
         mask = batch["mask"] if use_mask else None
-        aux = {"tv_loss": out["tv_loss"]}
+        aux = {"tv_loss": out["tv_loss"], "tv_density": out["tv_density"]}
         loss, _ = loss_calc(out["acc"], batch["projs"], mask, aux)
         if has_fine:
             # Regularizer terms (tv/small/zero) are counted ONCE — on the

@@ -405,3 +405,42 @@ def test_trainer_mesh_matches_single_device_loss(tmp_path):
     _, l_mesh = tr_mesh._epoch_fn(tr_mesh.state, tr_mesh._arrays, order, k)
     np.testing.assert_allclose(np.asarray(l_plain), np.asarray(l_mesh),
                                rtol=2e-5)
+
+
+def test_tvd_regularizer_is_gradient_active():
+    """'mse+tvd' adds the density-TV term (reference loss.py:237-248) with a
+    parseable weight suffix, and — unlike the parameter-independent 'tv'
+    points term — contributes parameter gradients."""
+    from neuralvolumetricreconstructionformedicalimages_tpu.losses import get_loss_fn
+    from neuralvolumetricreconstructionformedicalimages_tpu.render import render_rays
+
+    fn = get_loss_fn("mse+tvd:0.25")
+    pred = jnp.asarray([1.0, 2.0]); tgt = jnp.asarray([0.0, 0.0])
+    total, comps = fn(pred, tgt, None, {"tv_density": jnp.asarray(0.8)})
+    np.testing.assert_allclose(float(comps["loss_tvd"]), 0.2, rtol=1e-6)
+    np.testing.assert_allclose(float(total), float(comps["loss_mse"]) + 0.2,
+                               rtol=1e-6)
+
+    cfg = tiny_cfg()
+    cfg["train"]["loss"] = "mse+tvd:0.1"
+    dset = tiny_dataset()
+    spec = build_model(cfg)
+    state = init_state(cfg, spec, 4, jax.random.key(0))
+    rays = dset.rays[0].reshape(-1, 8)[:32]
+
+    def loss(p):
+        out = render_rays(rays, p["coarse"], spec, n_samples=16, perturb=False,
+                          key=None)
+        return 0.1 * out["tv_density"]  # isolate the tvd term
+
+    g = jax.grad(loss)(state["params"])
+    gnorm = sum(float(jnp.sum(jnp.abs(l)))
+                for l in jax.tree_util.tree_leaves(g))
+    assert gnorm > 0.0, "density TV must be gradient-active"
+
+    # end-to-end: config-driven mse+tvd trains
+    epoch_fn = make_epoch_fn(cfg, spec, 4, 32, 1, False)
+    arrays = dset.arrays()
+    order = jnp.zeros((4, 1), jnp.int32)
+    st, losses = epoch_fn(state, arrays, order, jax.random.key(1))
+    assert np.isfinite(np.asarray(losses)).all()
