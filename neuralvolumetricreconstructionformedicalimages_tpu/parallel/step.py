@@ -75,10 +75,19 @@ def _render_acc_sample_sharded(
     dists = jnp.concatenate([dists, jnp.full_like(dists[..., :1], 1e-10)], axis=-1)
     dists = dists * jnp.linalg.norm(rays_d[..., None, :], axis=-1)
 
+    def _pvary_full(x):
+        """Align x's varying-axes set to {data, sample}: the z grid varies
+        over ``data`` (per-shard rays) while the slice start varies over
+        ``sample`` — ``dynamic_slice`` under ``check_vma=True`` requires
+        all operands to agree, and the slice genuinely varies over both."""
+        have = getattr(jax.typeof(x), "vma", frozenset())
+        need = tuple(a for a in (DATA_AXIS, SAMPLE_AXIS) if a not in have)
+        return lax.pvary(x, need) if need else x
+
     j = lax.axis_index(SAMPLE_AXIS)
-    start = j * local_samples
-    z_loc = lax.dynamic_slice_in_dim(z, start, local_samples, axis=-1)
-    d_loc = lax.dynamic_slice_in_dim(dists, start, local_samples, axis=-1)
+    start = _pvary_full(j * local_samples)
+    z_loc = lax.dynamic_slice_in_dim(_pvary_full(z), start, local_samples, axis=-1)
+    d_loc = lax.dynamic_slice_in_dim(_pvary_full(dists), start, local_samples, axis=-1)
 
     bound = spec.bound - 1e-6
     pts = rays_o[..., None, :] + rays_d[..., None, :] * z_loc[..., :, None]
@@ -93,6 +102,27 @@ def _render_acc_sample_sharded(
 
     partial = jnp.sum(sigma * d_loc, axis=-1)
     return lax.psum(partial, SAMPLE_AXIS)
+
+
+def _check_vma(spec: DensityFieldSpec) -> bool:
+    """Keep JAX's per-axis variance checker ON except where it cannot run.
+
+    The Pallas bucket kernels declare their outputs' variance
+    (ops/bucket_matmul._out_vma), so compiled TPU execution passes the
+    checker.  Off-TPU the kernels run under the Pallas *HLO interpreter*,
+    whose internal block slicing trips the checker on varying operands — a
+    JAX interpreter limitation, not a property of this code; only that
+    exact configuration (interpret-mode + bucket path active) is exempted.
+    """
+    enc = getattr(spec, "encoder", None)
+    uses_pallas = (
+        getattr(enc, "hash_variant", None) == "coherent"
+        and getattr(enc, "fast", False)
+        and getattr(enc, "backward", "take") in ("bucket", "canonical")
+        and enc.grid.table_size % (16384 if enc.backward == "canonical" else 2048) == 0
+    )
+    interpreted = jax.default_backend() != "tpu"
+    return not (uses_pallas and interpreted)
 
 
 def _make_shard_body(cfg: Dict[str, Any], spec: DensityFieldSpec, opt,
@@ -215,11 +245,7 @@ def make_sharded_train_step(cfg: Dict[str, Any], spec: DensityFieldSpec,
         body, mesh=mesh,
         in_specs=(P(), P(), P(), P()),
         out_specs=(P(), P()),
-        # The Pallas bucket-matmul in the encoder backward cannot declare
-        # per-axis variance (ShapeDtypeStruct.vma), which the VMA checker
-        # requires inside shard_map; the psum axes above are written out
-        # explicitly, so the checker is redundant here.
-        check_vma=False,
+        check_vma=_check_vma(spec),
     )
     return jax.jit(sharded, donate_argnums=(0,))
 
@@ -254,6 +280,6 @@ def make_sharded_epoch_fn(cfg: Dict[str, Any], spec: DensityFieldSpec,
         epoch, mesh=mesh,
         in_specs=(P(), P(), P(), P()),
         out_specs=(P(), P()),
-        check_vma=False,  # see make_sharded_train_step
+        check_vma=_check_vma(spec),  # see make_sharded_train_step
     )
     return jax.jit(sharded, donate_argnums=(0,))

@@ -110,6 +110,59 @@ def build(n_rays: int, table_dtype: str, steps: int):
     return epoch_fn, state, arrays, view_order, iso_block, params, rays
 
 
+def child(n_rays: int, dtype: str, steps: int, deadline_s: float):
+    """Measure ONE config in this (fresh) process; print a JSON line."""
+    jax.config.update("jax_compilation_cache_dir", "/tmp/nvr_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    t_end = time.time() + deadline_s
+
+    (epoch_fn, state, arrays, view_order, iso_block, params,
+     rays) = build(n_rays, dtype, steps)
+    # epoch_fn donates its state arg — keep copies for the iso run
+    p, ost = jax.tree.map(jnp.copy, (state["params"], state["opt_state"]))
+
+    # epoch-style (bench harness)
+    st = state
+    t0 = time.perf_counter()
+    st, losses = epoch_fn(st, arrays, view_order, jax.random.key(3))
+    fence(losses)
+    warm = time.perf_counter() - t0
+    ep = []
+    for i in range(3):
+        if time.time() > t_end:
+            break
+        t0 = time.perf_counter()
+        st, losses = epoch_fn(st, arrays, view_order, jax.random.key(4 + i))
+        fence(losses)
+        fence(st["params"]["coarse"]["layers"][-1]["b"])
+        ep.append(time.perf_counter() - t0)
+    t_epoch = min(ep) / steps if ep else float("nan")
+
+    # isolated step
+    t0 = time.perf_counter()
+    p2, ost2 = iso_block(p, ost, rays)
+    fence(p2["coarse"]["layers"][-1]["b"])
+    iso = []
+    for i in range(3):
+        if time.time() > t_end:
+            break
+        t0 = time.perf_counter()
+        p2, ost2 = iso_block(p2, ost2, rays)
+        fence(p2["coarse"]["layers"][-1]["b"])
+        iso.append(time.perf_counter() - t0)
+    t_iso = min(iso) / steps if iso else float("nan")
+
+    rec = {
+        "n_rays": n_rays, "table_dtype": dtype,
+        "iso_ms": round(t_iso * 1e3, 2),
+        "iso_rays_s": round(n_rays / t_iso, 0),
+        "epoch_ms": round(t_epoch * 1e3, 2),
+        "epoch_rays_s": round(n_rays / t_epoch, 0),
+        "warm_s": round(warm, 1),
+    }
+    print("SWEEPREC " + json.dumps(rec), flush=True)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batches", default="1024,2048,4096,8192")
@@ -117,69 +170,36 @@ def main():
     ap.add_argument("--steps", type=int, default=8)
     ap.add_argument("--deadline", type=float, default=1500.0)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--child", default=None, help="internal: 'n_rays,dtype'")
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
-    jax.config.update("jax_compilation_cache_dir", "/tmp/nvr_jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    t_end = time.time() + args.deadline
+    if args.child:
+        n, d = args.child.split(",")
+        child(int(n), d, args.steps, args.deadline)
+        return
 
-    results = []
+    # Parent: one FRESH subprocess per config — cross-config HBM allocator
+    # state / fragmentation in a shared process skews measurements (first
+    # in-process sweep measured 87 ms for a step that profiles at 55 ms).
+    # Children are never killed (wedge policy); they self-terminate.
+    import subprocess
+    t_end = time.time() + args.deadline
     for dtype in args.dtypes.split(","):
         for n_rays in [int(b) for b in args.batches.split(",")]:
-            if time.time() > t_end:
+            remaining = t_end - time.time()
+            if remaining < 60:
                 print("[sweep] deadline — stopping", flush=True)
-                break
-            print(f"[sweep] {time.strftime('%H:%M:%S')} build n_rays={n_rays} "
+                return
+            print(f"[sweep] {time.strftime('%H:%M:%S')} spawn n_rays={n_rays} "
                   f"table={dtype}", flush=True)
-            (epoch_fn, state, arrays, view_order, iso_block, params,
-             rays) = build(n_rays, dtype, args.steps)
-            # epoch_fn donates its state arg — keep copies for the iso run
-            p, ost = jax.tree.map(
-                jnp.copy, (state["params"], state["opt_state"]))
-
-            # epoch-style (bench harness)
-            st = state
-            t0 = time.perf_counter()
-            st, losses = epoch_fn(st, arrays, view_order, jax.random.key(3))
-            fence(losses)
-            warm = time.perf_counter() - t0
-            ep = []
-            for i in range(3):
-                if time.time() > t_end:
-                    break
-                t0 = time.perf_counter()
-                st, losses = epoch_fn(st, arrays, view_order, jax.random.key(4 + i))
-                fence(losses)
-                fence(st["params"]["coarse"]["layers"][-1]["b"])
-                ep.append(time.perf_counter() - t0)
-            t_epoch = min(ep) / args.steps if ep else float("nan")
-
-            # isolated step
-            t0 = time.perf_counter()
-            p2, ost2 = iso_block(p, ost, rays)
-            fence(p2["coarse"]["layers"][-1]["b"])
-            iso = []
-            for i in range(3):
-                if time.time() > t_end:
-                    break
-                t0 = time.perf_counter()
-                p2, ost2 = iso_block(p2, ost2, rays)
-                fence(p2["coarse"]["layers"][-1]["b"])
-                iso.append(time.perf_counter() - t0)
-            t_iso = min(iso) / args.steps if iso else float("nan")
-
-            rec = {
-                "n_rays": n_rays, "table_dtype": dtype,
-                "iso_ms": round(t_iso * 1e3, 2),
-                "iso_rays_s": round(n_rays / t_iso, 0),
-                "epoch_ms": round(t_epoch * 1e3, 2),
-                "epoch_rays_s": round(n_rays / t_epoch, 0),
-                "warm_s": round(warm, 1),
-            }
-            results.append(rec)
-            print("[sweep] " + json.dumps(rec), flush=True)
-    print(json.dumps(results, indent=1))
+            subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--child", f"{n_rays},{dtype}",
+                 "--steps", str(args.steps),
+                 "--deadline", str(min(remaining - 30, 400.0))],
+                cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            )
 
 
 if __name__ == "__main__":
