@@ -219,11 +219,17 @@ def _gather_rolled(rolled: jax.Array, base: jax.Array) -> jax.Array:
     return jnp.stack(vals, axis=1)  # [B, L, F]
 
 
-def _interpolate(x01, rolled, spec: HashGridSpec, n_channels: int):
-    """Shared forward body: gather wide rows from ``rolled`` + trilerp.
+# Point-chunk size for the forward gather+lerp.  XLA's gather emitter is
+# shape-sensitive: at exactly this shape (1024 rays x 192 samples) the 16
+# per-level wide-row gathers overlap at ~6 ns/row, while monolithic larger
+# shapes fall off a scheduling cliff to ~20 ns/row (measured on v5e,
+# docs/batch_scaling_r4.md).  Chunking pins every gather to the known-fast
+# shape; scaling is linear in batch again (5.3-6.8 ns/row at 1024-8192
+# rays).
+_FWD_CHUNK = 196_608
 
-    Returns (out [B, L*C], base, frac, vals [B, L, K*C]).
-    """
+
+def _interpolate_chunk(x01, rolled, spec: HashGridSpec, n_channels: int):
     B = x01.shape[0]
     L = rolled.shape[0]
     n_corners = 1 << spec.input_dim
@@ -233,6 +239,25 @@ def _interpolate(x01, rolled, spec: HashGridSpec, n_channels: int):
     vals_kc = vals.reshape(B, L, n_corners, n_channels).astype(jnp.float32)
     out = jnp.einsum("blk,blkc->blc", w, vals_kc, precision="highest")
     return out.reshape(B, L * n_channels), base, frac, vals
+
+
+def _interpolate(x01, rolled, spec: HashGridSpec, n_channels: int):
+    """Shared forward body: gather wide rows from ``rolled`` + trilerp,
+    in ``_FWD_CHUNK``-point chunks (see note above).
+
+    Returns (out [B, L*C], base, frac, vals [B, L, K*C]).
+    """
+    B = x01.shape[0]
+    if B <= _FWD_CHUNK:
+        return _interpolate_chunk(x01, rolled, spec, n_channels)
+    splits = list(range(_FWD_CHUNK, B, _FWD_CHUNK))
+    parts = [
+        _interpolate_chunk(c, rolled, spec, n_channels)
+        for c in jnp.split(x01, splits)
+    ]
+    out, base, frac, vals = (jnp.concatenate([p[i] for p in parts])
+                             for i in range(4))
+    return out, base, frac, vals
 
 
 def coherent_encode_prebuilt(

@@ -24,10 +24,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-N_RAYS, N_SAMPLES, REPS = 1024, 192, 20
+N_RAYS, N_SAMPLES, REPS = 1024, 192, 20  # N_RAYS overridable via --rays
 
 
-def timed(name, fn, *args, reps=REPS, n_rays=N_RAYS):
+def timed(name, fn, *args, reps=REPS, n_rays=None):
+    n_rays = n_rays or N_RAYS
     out = fn(*args)
     jax.device_get(jax.tree_util.tree_leaves(out)[-1].ravel()[:1])  # fence
     times = []
@@ -83,7 +84,12 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--log2", type=int, default=19)
+    ap.add_argument("--rays", type=int, default=None)
+    ap.add_argument("--table-dtype", default="float32")
     args = ap.parse_args()
+    global N_RAYS
+    if args.rays:
+        N_RAYS = args.rays
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
 
@@ -111,6 +117,7 @@ def main():
     cfg = with_defaults(load_config("configs/chest_50.yaml"))
     cfg["render"]["n_samples"] = N_SAMPLES
     cfg["encoder"]["log2_hashmap_size"] = args.log2
+    cfg["encoder"]["table_dtype"] = args.table_dtype
     spec = build_model(cfg)
     state = init_state(cfg, spec, steps_per_epoch=50, key=jax.random.key(0))
     params = state["params"]["coarse"]

@@ -331,3 +331,27 @@ class TestBf16GradientPath:
                                    atol=2e-2 * scale, rtol=2e-2)
         np.testing.assert_allclose(np.asarray(gx16), np.asarray(gx32),
                                    atol=5e-2, rtol=5e-2)
+
+
+def test_forward_chunking_matches_monolithic(rng, monkeypatch):
+    """The _FWD_CHUNK point-chunked forward (gather-emitter cliff
+    workaround) is numerically identical to the monolithic path,
+    including a ragged final chunk, and through the custom-vjp grads."""
+    from neuralvolumetricreconstructionformedicalimages_tpu.ops import coherent_hash as CH
+
+    x01 = _points(rng, 333)
+    table = SPEC.init(jax.random.key(1))
+    ref = coherent_encode_reference(x01, table, SPEC)
+    monkeypatch.setattr(CH, "_FWD_CHUNK", 100)  # 333 -> chunks 100,100,100,33
+    fast = coherent_encode(x01, table, SPEC)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(fast), atol=1e-6)
+
+    ct = jnp.asarray(rng.normal(size=(333, SPEC.output_dim)).astype(np.float32))
+
+    def loss(fn):
+        return lambda x, t: jnp.vdot(fn(x, t, SPEC), ct)
+
+    gx_r, gt_r = jax.grad(loss(coherent_encode_reference), (0, 1))(x01, table)
+    gx_f, gt_f = jax.grad(loss(coherent_encode), (0, 1))(x01, table)
+    np.testing.assert_allclose(np.asarray(gt_r), np.asarray(gt_f), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(gx_r), np.asarray(gx_f), atol=1e-5)
