@@ -171,3 +171,87 @@ def plot_scan_geometry(geo, angles, ray_length: Optional[float] = None,
         pose = np.asarray(G.angle_to_pose(geo.DSO, float(ang), geo.tilt_angle))
         sets.append(plot_camera_pose(pose))
     return draw_scene(sets, path=path)
+
+
+# ---------------------------------------------------------------------------
+# Sampling-debug utilities (reference util.py:206-304)
+# ---------------------------------------------------------------------------
+
+def manual_vmap(func, inputs, *args, **kwargs):
+    """Apply ``func`` per batch element and stack (``util.py:206-218``).
+
+    Kept for API parity; under JAX prefer ``jax.vmap`` (or ``jax.lax.map``
+    for memory-bound loops) — this eager Python loop is the reference's
+    torch idiom and is fine for host-side debug code only.
+    """
+    return np.stack([np.asarray(func(inp, *args, **kwargs)) for inp in inputs])
+
+
+def visualize_sampled_points(full_mask, sampled_coords, mask_sampled,
+                             global_step: int, outdir: str = "."):
+    """Scatter the per-step sampled pixels over the beam mask
+    (``util.py:223-266``): left = all sampled points, right = valid (red)
+    vs masked-out (blue).  Saves a PNG; returns its path."""
+    import os
+
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    full_mask = np.asarray(full_mask)
+    coords = np.asarray(sampled_coords)
+    msk = np.asarray(mask_sampled)
+    valid, invalid = coords[msk > 0], coords[msk == 0]
+
+    fig, ax = plt.subplots(1, 2, figsize=(12, 6))
+    ax[0].imshow(full_mask, cmap="gray", origin="upper")
+    ax[0].scatter(coords[:, 1], coords[:, 0], c="yellow", s=2,
+                  label="Sampled Points")
+    ax[0].set_title("Full Mask with Sampled Points")
+    ax[0].legend(loc="upper right")
+    ax[1].imshow(full_mask, cmap="gray", origin="upper")
+    if len(valid):
+        ax[1].scatter(valid[:, 1], valid[:, 0], c="red", s=2, label="Valid Points")
+    if len(invalid):
+        ax[1].scatter(invalid[:, 1], invalid[:, 0], c="blue", s=2,
+                      label="Invalid Points")
+    ax[1].set_title("Full Mask with Valid (Red) and Invalid (Blue) Points")
+    ax[1].legend(loc="upper right")
+    plt.tight_layout()
+    path = os.path.join(outdir, f"sampled_points_visualization_step_{global_step}.png")
+    plt.savefig(path)
+    plt.close(fig)
+    return path
+
+
+def visualize_after_mask(full_mask, sampled_coords, projs_values,
+                         global_step: int, title_suffix: str = "",
+                         outdir: str = "."):
+    """Scatter sampled pixels colored by post-mask value (zero vs nonzero,
+    ``util.py:269-304``).  Saves a PNG; returns its path."""
+    import os
+
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    full_mask = np.asarray(full_mask)
+    coords = np.asarray(sampled_coords)
+    vals = np.asarray(projs_values)
+    valid, invalid = coords[vals != 0], coords[vals == 0]
+
+    fig, ax = plt.subplots(1, 1, figsize=(8, 6))
+    ax.imshow(full_mask, cmap="gray", origin="upper")
+    if len(valid):
+        ax.scatter(valid[:, 1], valid[:, 0], c="green", s=2, label="Valid Points")
+    if len(invalid):
+        ax.scatter(invalid[:, 1], invalid[:, 0], c="purple", s=2,
+                   label="Invalid Points")
+    ax.set_title(f"Full Mask with Points after Mask Application {title_suffix}")
+    ax.legend(loc="upper right")
+    plt.tight_layout()
+    path = os.path.join(
+        outdir, f"points_after_mask_step_{global_step}{title_suffix}.png")
+    plt.savefig(path)
+    plt.close(fig)
+    return path

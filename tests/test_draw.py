@@ -72,3 +72,23 @@ def test_draw_scene_and_scan_geometry(tmp_path):
     fig = draw.plot_scan_geometry(geo, angles=[0.0, np.pi / 2], path=str(out))
     plt.close(fig)
     assert out.exists() and out.stat().st_size > 0
+
+
+def test_sampling_debug_plots(tmp_path):
+    """manual_vmap + the sampled-point/mask scatter plots (util.py:206-304)."""
+    import numpy as np
+
+    from neuralvolumetricreconstructionformedicalimages_tpu.utils.draw import (
+        manual_vmap, visualize_after_mask, visualize_sampled_points)
+
+    out = manual_vmap(lambda x: x * 2, np.arange(6).reshape(3, 2))
+    np.testing.assert_array_equal(out, np.arange(6).reshape(3, 2) * 2)
+
+    rng = np.random.default_rng(0)
+    mask = (rng.random((32, 32)) > 0.3).astype(np.float32)
+    coords = rng.integers(0, 32, (50, 2))
+    mvals = mask[coords[:, 0], coords[:, 1]]
+    p1 = visualize_sampled_points(mask, coords, mvals, 7, outdir=str(tmp_path))
+    p2 = visualize_after_mask(mask, coords, mvals, 7, outdir=str(tmp_path))
+    import os
+    assert os.path.exists(p1) and os.path.exists(p2)
