@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.hash_encoding import HashGridSpec, hash_encode
+from ..ops.hash_encoding import HashGridSpec, hash_encode, hash_encode_fast
 
 
 class EncoderSpec:
@@ -126,7 +126,14 @@ class HashEncoderSpec(EncoderSpec):
         prefix = x01.shape[:-1]
         x01 = x01.reshape(-1, self.grid.input_dim)
         if self.hash_variant == "xor":
-            out = hash_encode(x01, params["table"], self.grid)
+            # Reference-bit-exact XOR hash.  The forward is the narrow
+            # corner gather either way (no static corner offsets to roll);
+            # ``fast`` swaps the 1.6 s/step scatter backward for the
+            # sort + bucket-matmul kernel on the corner-expanded stream.
+            if self.fast and self.grid.table_size % 2048 == 0:
+                out = hash_encode_fast(x01, params["table"], self.grid)
+            else:
+                out = hash_encode(x01, params["table"], self.grid)
         elif self.hash_variant == "coherent":
             if "rolled" in params:  # frozen eval params (see ``freeze``)
                 out = coherent_encode_prebuilt(x01, params["rolled"], self.grid)

@@ -162,3 +162,58 @@ def test_grad_deterministic():
     g1 = jax.grad(f)(table)
     g2 = jax.grad(f)(table)
     assert (np.asarray(g1) == np.asarray(g2)).all()
+
+
+class TestFastXorBackward:
+    """hash_encode_fast: scatter-free XOR backward (sort + bucket kernel on
+    the corner-expanded stream) must match the autodiff oracle exactly."""
+
+    SPEC11 = HashGridSpec(num_levels=6, base_resolution=4, log2_hashmap_size=11)
+
+    def _pair(self, x01, rng):
+        from neuralvolumetricreconstructionformedicalimages_tpu.ops.hash_encoding import (
+            hash_encode_fast)
+
+        table = self.SPEC11.init(jax.random.key(1))
+        ct = jnp.asarray(
+            rng.normal(size=(x01.shape[0], self.SPEC11.output_dim)).astype(np.float32))
+
+        def loss(fn):
+            return lambda x, t: jnp.vdot(fn(x, t, self.SPEC11), ct)
+
+        out_r = hash_encode(x01, table, self.SPEC11)
+        out_f = hash_encode_fast(x01, table, self.SPEC11)
+        np.testing.assert_allclose(np.asarray(out_r), np.asarray(out_f), atol=1e-7)
+
+        gx_r, gt_r = jax.grad(loss(hash_encode), (0, 1))(x01, table)
+        gx_f, gt_f = jax.grad(loss(hash_encode_fast), (0, 1))(x01, table)
+        np.testing.assert_allclose(np.asarray(gt_r), np.asarray(gt_f), atol=2e-5)
+        np.testing.assert_allclose(np.asarray(gx_r), np.asarray(gx_f),
+                                   rtol=2e-4, atol=2e-4)
+
+    def test_uniform_points(self, rng):
+        x01 = jnp.asarray(rng.uniform(0, 1, (257, 3)).astype(np.float32))
+        self._pair(x01, rng)
+
+    def test_duplicate_heavy_points(self, rng):
+        x01 = jnp.asarray(
+            np.repeat(rng.uniform(0, 1, (4, 3)).astype(np.float32), 80, axis=0))
+        self._pair(x01, rng)
+
+    def test_encoder_dispatch_uses_fast_xor(self, rng):
+        from neuralvolumetricreconstructionformedicalimages_tpu.models.encoders import (
+            get_encoder)
+
+        enc_fast = get_encoder("hashgrid", num_levels=6, base_resolution=4,
+                               log2_hashmap_size=11, hash_variant="xor", fast=True)
+        enc_ref = get_encoder("hashgrid", num_levels=6, base_resolution=4,
+                              log2_hashmap_size=11, hash_variant="xor", fast=False)
+        params = enc_fast.init(jax.random.key(0))
+        x = jnp.asarray(rng.uniform(-0.29, 0.29, (100, 3)).astype(np.float32))
+
+        def loss(enc):
+            return lambda p: jnp.sum(enc.apply(p, x, 0.3) ** 2)
+
+        np.testing.assert_allclose(
+            np.asarray(jax.grad(loss(enc_fast))(params)["table"]),
+            np.asarray(jax.grad(loss(enc_ref))(params)["table"]), atol=2e-5)
