@@ -87,11 +87,28 @@ def project_angles(volume: jax.Array, geo: G.ConeGeometry, angles: jax.Array,
     z_vals = near * (1.0 - t) + far * t                     # [S]
     dt = (far - near) / (n_samples - 1)
 
+    # Tile detector rows so the [rows, W, S, 3] point tensor stays ~<=0.5 GB
+    # per tile (a full 1024^2 view at 512 samples is a 6.4 GB intermediate
+    # and OOMs a 16 GB chip with its gather temporaries).
+    W_det, H_det = geo.nDetector
+    budget_rows = max(1, (1 << 27) // max(1, W_det * n_samples * 12))
+    row_tile = H_det
+    while row_tile > budget_rows or H_det % row_tile:
+        row_tile -= 1
+
     def one_angle(angle):
         ro, rd = G.rays_for_angle(geo, angle)               # [H, W, 3]
-        pts = ro[..., None, :] + rd[..., None, :] * z_vals[:, None]  # [H, W, S, 3]
-        sig = trilinear_sample(volume, pts, geo)            # [H, W, S]
         norm = jnp.linalg.norm(rd, axis=-1)                 # [H, W]
-        return jnp.sum(sig, axis=-1) * dt * norm
+
+        def rows(args):
+            ro_r, rd_r = args                               # [T, W, 3]
+            pts = ro_r[..., None, :] + rd_r[..., None, :] * z_vals[:, None]
+            return jnp.sum(trilinear_sample(volume, pts, geo), axis=-1)
+
+        sig = jax.lax.map(
+            rows,
+            (ro.reshape(-1, row_tile, W_det, 3), rd.reshape(-1, row_tile, W_det, 3)),
+        ).reshape(H_det, W_det)
+        return sig * dt * norm
 
     return jax.lax.map(one_angle, jnp.asarray(angles, jnp.float32))
