@@ -50,24 +50,27 @@ from neuralvolumetricreconstructionformedicalimages_tpu.train.trainer import Tra
 N_VIEWS, H, W = 187, 1024, 1024
 EPOCHS = int(os.environ.get("NVR_RS_EPOCHS", 12))
 OUTDIR = "docs/real_scale_train_r4"
+GEN_NPZ = "/tmp/nvr_realscale_gen.npz"
 
 
-def main():
-    print(f"backend={jax.default_backend()}", flush=True)
+def gen_projections():
+    """CPU subprocess: synthesize the projection stack.
+
+    Projections are computed at 256^2 detector resolution on the HOST CPU
+    and bilinearly upsampled to the real 1024^2: the projector program
+    reproducibly crashes the axon remote worker (kernel fault, 3x
+    observed — its only TPU execution path), and CPU generation is
+    minutes.  The lo-res detector spans the same physical extent
+    (1 mm x 1024 = 4 mm x 256), so upsampled pixels sit at geometrically
+    consistent ray positions across views.  The training pipeline itself
+    runs at the genuine 187 x 1024^2 scale — which is what this run
+    demonstrates.
+    """
+    jax.config.update("jax_platforms", "cpu")
     angles_deg = np.rad2deg(
         np.load("data/angles_real.npy").astype(np.float64))[:N_VIEWS]
-
-    # phantom volume + tilted parallel geometry.  Projections are computed
-    # at 256^2 detector resolution and bilinearly upsampled to the real
-    # 1024^2 — the full-res projector program reproducibly crashes the
-    # axon worker (kernel fault, 2x observed); the training pipeline
-    # itself runs at the genuine 1024^2 scale either way (what this run
-    # demonstrates), the synthetic phase content is merely smoother.
     vol = get_phantom("lamino_chip", (256, 256, 64)).astype(np.float32)
     lo = 256
-    # lo-res detector spans the same physical extent as the 1024^2 one the
-    # trainer sees (1 mm pixels x 1024 = 4 mm x 256), so upsampled pixels
-    # sit at geometrically consistent ray positions across views.
     geo_lo = G.ConeGeometry(
         DSD=1.5, DSO=1.0, nDetector=(lo, lo), dDetector=(0.004, 0.004),
         nVoxel=(256, 256, 64), dVoxel=(0.0015, 0.0015, 0.0015),
@@ -75,16 +78,26 @@ def main():
     )
     t0 = time.time()
     angles_rad = np.deg2rad(angles_deg).astype(np.float32)
-    chunks = []
-    for i in range(0, N_VIEWS, 47):
-        chunks.append(np.asarray(project_angles(
-            jnp.asarray(vol), geo_lo, angles_rad[i:i + 47], 320)))
-    proj_lo = np.concatenate(chunks)  # [N, 256, 256]
+    proj_lo = np.asarray(project_angles(jnp.asarray(vol), geo_lo,
+                                        angles_rad, 320))
     from scipy.ndimage import zoom
-    proj = zoom(proj_lo, (1, H / lo, W / lo), order=1)
-    print(f"projected {proj_lo.shape} -> upsampled {proj.shape} in "
+
+    proj = zoom(proj_lo, (1, H / lo, W / lo), order=1).astype(np.float32)
+    np.savez_compressed(GEN_NPZ, proj=proj, vol=vol, angles_deg=angles_deg)
+    print(f"[gen] projected {proj_lo.shape} -> {proj.shape} in "
           f"{time.time()-t0:.1f}s range [{proj.min():.3f}, {proj.max():.3f}]",
           flush=True)
+
+
+def main():
+    if not os.path.exists(GEN_NPZ):
+        import subprocess
+        print("[main] generating projections in a CPU subprocess...", flush=True)
+        subprocess.run([sys.executable, os.path.abspath(__file__), "--gen"],
+                       check=True)
+    d = np.load(GEN_NPZ)
+    proj, vol, angles_deg = d["proj"], d["vol"], d["angles_deg"]
+    print(f"backend={jax.default_backend()}  proj {proj.shape}", flush=True)
 
     # unit-amplitude complex field, phase = scaled line integral; beam
     # aperture: zero amplitude outside a circle -> ptycho mask
@@ -142,4 +155,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--gen" in sys.argv:
+        gen_projections()
+    else:
+        main()
