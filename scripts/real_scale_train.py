@@ -100,8 +100,11 @@ def main():
     print(f"backend={jax.default_backend()}  proj {proj.shape}", flush=True)
 
     # unit-amplitude complex field, phase = scaled line integral; beam
-    # aperture: zero amplitude outside a circle -> ptycho mask
-    phase = proj / max(1e-6, proj.max()) * 2.0 - 1.0  # [-1, 1] rad
+    # aperture: zero amplitude outside a circle -> ptycho mask.  Phase is
+    # kept NON-NEGATIVE ([0, 2] rad, inside the principal branch): the
+    # renderer's Beer-Lambert accumulation is >= 0, so negative targets
+    # would be unfittable by construction.
+    phase = proj / max(1e-6, proj.max()) * 2.0  # [0, 2] rad
     yy, xx = np.mgrid[0:H, 0:W]
     beam = (np.hypot(yy - H / 2, xx - W / 2) < 0.48 * H).astype(np.float32)
     cplx = (beam * np.exp(1j * phase)).astype(np.complex64)
@@ -115,7 +118,8 @@ def main():
 
     cfg = with_defaults(load_config("configs/chest_50.yaml"))
     cfg["exp"].update(expname="real_scale_train_r4", datadir="(in-memory)")
-    cfg["train"].update(epoch=EPOCHS, resume=False, lrate=1e-3)
+    cfg["train"].update(epoch=EPOCHS, resume=False, lrate=1e-3,
+                        n_rays=int(os.environ.get("NVR_RS_RAYS", 1024)))
     cfg["log"].update(i_eval=EPOCHS, i_save=0, eval_mask=True)
 
     workdir = "logs/real_scale_train_r4"
