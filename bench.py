@@ -59,14 +59,19 @@ N_VIEWS, H, W = 50, 256, 256
 
 # name -> (log2_hashmap_size, backward, n_samples, steps_per_block,
 #          max_blocks, stage_budget_s, retries, n_rays)
-# chest  = the reference SGD batch (1024 rays/step, config/chest_50.yaml:28).
-# chest4k = the same model/workload at 4096 rays/step — the production batch
-#   (fixed step costs amortized; measured 20.7k vs 16.3k rays/s,
-#   docs/batch_scaling_r4.md); one Adam update per 4096 rays.
+# chest  = the reference SGD batch (1024 rays/step, config/chest_50.yaml:28)
+#   — the HEADLINE number (ADVICE r4 #3: the published rate must be the
+#   reference's own batch, not a larger batch with fewer optimizer
+#   updates per ray).  Runs before chest4k so a chest4k abandonment can
+#   never rob it.
+# chest4k = the same model/workload at 4096 rays/step — the production
+#   batch (fixed step costs amortized); reported as supplementary.
+# Blocks are 16/8 scanned steps so the ~10-30 ms axon dispatch+fence
+# overhead is amortized to <2% (VERDICT r4 weak #7).
 STAGES = {
     "tiny": (13, "take", 64, 2, 2, 120.0, 3, N_RAYS),
-    "chest4k": (19, "bucket", N_SAMPLES, 4, 3, 240.0, 1, 4096),
-    "chest": (19, "bucket", N_SAMPLES, 8, 3, 1e9, 1, N_RAYS),  # gets the rest
+    "chest": (19, "bucket", N_SAMPLES, 16, 3, 300.0, 1, N_RAYS),
+    "chest4k": (19, "bucket", N_SAMPLES, 8, 3, 1e9, 1, 4096),  # gets the rest
     # backfill only when chest produced nothing (see parent_main)
     "small": (15, "bucket", N_SAMPLES, 4, 2, 110.0, 1, N_RAYS),
 }
@@ -235,12 +240,17 @@ def parent_main() -> None:
 
     # Full-scale stages always outrank the reduced-scale fallbacks, no
     # matter their rates (tiny's 2^13/64-sample rate is NOT the workload).
-    _RANK = {"tiny": 0, "small": 1, "chest": 2, "chest4k": 2}
+    # chest (the reference's own 1024-ray batch) outranks chest4k: the
+    # headline is the reference workload; the 4k production batch is
+    # attached as a supplementary field (ADVICE r4 #3).
+    _RANK = {"tiny": 0, "small": 1, "chest4k": 2, "chest": 3}
     best_rank = -1
+    extras = {}
 
-    def record(rate: float, note: str, rank: int) -> None:
+    def record(rate: float, note: str, rank: int, stage: str) -> None:
         """Keep the highest-rank result; within a rank, the best rate."""
         nonlocal best, best_rank
+        extras[stage] = round(rate, 1)
         if best is not None and (rank, rate) <= (best_rank, best["value"]):
             return
         best_rank = rank
@@ -277,7 +287,7 @@ def parent_main() -> None:
                       f"(budget {budget:.0f}s)")
             rate, timed_out = _run_stage(stage, budget)
             if rate is not None:
-                record(rate, notes[stage], _RANK[stage])
+                record(rate, notes[stage], _RANK[stage], stage)
                 got = True
                 break
             if timed_out:
@@ -299,6 +309,8 @@ def parent_main() -> None:
                 break  # orphan may still hold the chip; publish what we have
 
     if best is not None:
+        if len(extras) > 1:
+            best["stage_rates"] = extras
         print(json.dumps(best), flush=True)
         sys.exit(0)
     print(json.dumps({

@@ -281,7 +281,16 @@ def get_loss_fn(name: str = "mse", axis_name=None):
         if r not in _REGULARIZERS:
             raise NotImplementedError(
                 f"Unknown loss regularizer {r!r}; choose from {sorted(_REGULARIZERS)}")
-        w = float(wtxt) if wtxt else (0.1 if r == "tvd" else 1.0)
+        if wtxt:
+            try:
+                w = float(wtxt)
+            except ValueError:
+                raise ValueError(
+                    f"Bad weight {wtxt!r} in loss regularizer {rp!r} "
+                    f"(train.loss); expected e.g. '{r}:0.05'"
+                ) from None
+        else:
+            w = 0.1 if r == "tvd" else 1.0
         regs.append((r, w))
     per_elem, comp_key = _PRIMARY_LOSSES[primary]
 

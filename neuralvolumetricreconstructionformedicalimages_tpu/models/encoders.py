@@ -50,10 +50,11 @@ class HashEncoderSpec(EncoderSpec):
 
     ``hash_variant`` selects the collision hash:
 
-    - ``"coherent"`` (default): linear hash, TPU-fast path — rolled-table
-      wide-row gather forward + Pallas sort/bucket-matmul backward
-      (``ops/coherent_hash.py``).  Set ``fast=False`` for the pure-jnp
-      oracle of the same hash (used by the equivalence tests).
+    - ``"coherent"`` (default): linear hash, TPU-fast path — sorted
+      span-gather Pallas forward (``ops/span_gather.py``) + Pallas
+      sort/bucket-matmul backward (``ops/bucket_matmul.py``).  Set
+      ``fast=False`` for the pure-jnp oracle of the same hash (used by
+      the equivalence tests).
     - ``"xor"``: the reference's XOR-prime hash (``hashencoder.cu:36-52``),
       bit-exact parity mode; pure-jnp gather path only (slow on TPU).
     """
@@ -61,25 +62,43 @@ class HashEncoderSpec(EncoderSpec):
     grid: HashGridSpec = HashGridSpec()
     hash_variant: str = "coherent"
     fast: bool = True
-    # "canonical": custom_vjp sort + Pallas bucket-matmul accumulating
-    #   straight into canonical table positions (fastest; no rolled
-    #   gradient, no adjoint rolls).
+    # "sorted": sorted span-gather Pallas forward (one fused
+    #   sort->stream->trilerp pipeline, no XLA row gathers) + the bucket
+    #   backward.  Fastest; does not produce input (position) gradients
+    #   — see ``input_grads``.
+    # "rolled": rolled-table wide-row XLA gather forward (r4 fast path).
+    forward: str = "sorted"
     # "bucket": custom_vjp sort + Pallas bucket-matmul into the rolled
     #   layout + adjoint corner rolls.
     # "take": plain autodiff over the rolled-table gather (pure XLA, no
     #   Pallas) — conservative fallback, ~wide-row scatter backward.
+    #   (The "canonical" kernel variant was removed in r5 after two
+    #   rounds of measuring 2.7x slower than "bucket";
+    #   docs/batch_scaling_r4.md / docs/profile_r3.md A4b keep the data.)
     backward: str = "bucket"
-    # dtype of the rolled gather table ("float32" | "bfloat16").  bfloat16
-    # halves the per-step rolled-table build traffic and the gather reads
-    # (and measured slightly faster on v5e, docs/microbench_r2.md); the
-    # canonical table, gradients and Adam state stay float32.
+    # dtype of the gather table ("float32" | "bfloat16").  With the
+    # sorted forward, bfloat16 feeds the span kernel's one-hot MXU
+    # selection at full rate (f32 needs a 6-pass HIGHEST contraction) and
+    # halves span DMA traffic; the canonical table, gradients and Adam
+    # state stay float32.  Quality measured neutral (docs/hash_quality.md).
     table_dtype: str = "float32"
+    # Pack sort payloads (11/11/10-bit fracs, bf16 feature pairs) on the
+    # sorted forward — fewer bitonic lanes.  See sorted_encode_features.
+    pack_sort: bool = True
+    # Route through the (slower) rolled forward when gradients wrt the
+    # input positions are required — the sorted path returns zeros for
+    # them (training never uses them: ray geometry is fixed and the fine
+    # pass stop-gradients its z samples, render.py:74).
+    input_grads: bool = False
 
     def __post_init__(self):
-        if self.backward not in ("bucket", "canonical", "take"):
+        if self.backward not in ("bucket", "take"):
             raise ValueError(
-                f"backward must be 'bucket', 'canonical' or 'take', "
-                f"got {self.backward!r}"
+                f"backward must be 'bucket' or 'take', got {self.backward!r}"
+            )
+        if self.forward not in ("sorted", "rolled"):
+            raise ValueError(
+                f"forward must be 'sorted' or 'rolled', got {self.forward!r}"
             )
         if self.table_dtype not in ("float32", "bfloat16"):
             raise ValueError(
@@ -130,7 +149,10 @@ class HashEncoderSpec(EncoderSpec):
             # corner gather either way (no static corner offsets to roll);
             # ``fast`` swaps the 1.6 s/step scatter backward for the
             # sort + bucket-matmul kernel on the corner-expanded stream.
-            if self.fast and self.grid.table_size % 2048 == 0:
+            # ``backward='take'`` keeps the Pallas-free XLA scatter path
+            # (ADVICE r4 #2: the knob now applies to both variants).
+            if (self.fast and self.backward != "take"
+                    and self.grid.table_size % 2048 == 0):
                 out = hash_encode_fast(x01, params["table"], self.grid)
             else:
                 out = hash_encode(x01, params["table"], self.grid)
@@ -141,9 +163,16 @@ class HashEncoderSpec(EncoderSpec):
                 # Pure-XLA path; works for any table size.
                 out = coherent_encode_takevjp(
                     x01, params["table"], self.grid, self._table_dtype)
-            elif self.fast and self.grid.table_size % (
-                    16384 if self.backward == "canonical" else 2048) == 0:
-                # The bucket kernels tile the table into fixed-width
+            elif (self.fast and self.forward == "sorted"
+                  and not self.input_grads
+                  and self.grid.table_size % 2048 == 0):
+                from ..ops.span_gather import sorted_encode
+
+                out = sorted_encode(
+                    x01, params["table"], self.grid, self._table_dtype,
+                    self.pack_sort)
+            elif self.fast and self.grid.table_size % 2048 == 0:
+                # The bucket kernel tiles the table into fixed-width
                 # buckets; tiny test tables use the oracle path below.
                 out = coherent_encode(
                     x01, params["table"], self.grid, self._table_dtype,
@@ -222,8 +251,11 @@ def get_encoder(
     log2_hashmap_size: int = 19,
     hash_variant: str = "coherent",
     fast: bool = True,
+    forward: str = "sorted",
     backward: str = "bucket",
     table_dtype: str = "float32",
+    pack_sort: bool = True,
+    input_grads: bool = False,
     **kwargs,
 ) -> EncoderSpec:
     """Encoder factory mirroring ``src/encoder/__init__.py:5-25``."""
@@ -244,7 +276,10 @@ def get_encoder(
             ),
             hash_variant=hash_variant,
             fast=fast,
+            forward=forward,
             backward=backward,
             table_dtype=table_dtype,
+            pack_sort=pack_sort,
+            input_grads=input_grads,
         )
     raise NotImplementedError(f"Unknown encoding {encoding!r}")

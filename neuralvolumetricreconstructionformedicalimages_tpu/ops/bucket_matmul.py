@@ -144,8 +144,10 @@ def _kernel(starts_ref, stream_ref, out_ref, pbuf, acc, sems, *, D, K, C):
             jax.lax.broadcasted_iota(jnp.int32, (_LO, _M), 0) == lo_idx
         ).astype(jnp.float32)
 
-        # payload[f=c*K+k, m] = w[k, m] * g[c, m]
-        pay = jnp.concatenate([w * g[c : c + 1, :] for c in range(C)], axis=0)
+        # payload[f=k*C+c, m] = w[k, m] * g[c, m] — k-major rows so the
+        # downstream corner-roll kernels (ops/roll_kernels.py) see each
+        # corner's C channels as one contiguous strip.
+        pay = (w[:, None, :] * g[None, :, :]).reshape(C * K, _M)
         # VPU: pre-multiply the LO one-hot -> (F2*LO, M)
         p2 = (pay[:, None, :] * oh_lo[None, :, :]).reshape(C * K * _LO, _M)
         # MXU: contract the HI one-hot -> (F2*LO, HI).  HIGHEST precision:
@@ -179,11 +181,13 @@ def bucket_grad_matmul(
     input_dim: int,
     interpret: bool | None = None,
     out_dtype=jnp.float32,
+    extend_cols: int = 0,
 ) -> jax.Array:
     """Segment-sum sorted hash-grid updates into per-level gradient tables.
 
     Args:
-      sorted_keys: [L, B] int32, ascending per level, in [0, table_size).
+      sorted_keys: [L, B] int32 or float32 (exact integers), ascending
+        per level, in [0, table_size).
       sorted_frac: [L, D, B] f32 in-cell fractional positions (sorted order).
       sorted_grads: [L, C, B] f32 output gradients (sorted order).
       table_size: padded per-level table length (multiple of 2048).
@@ -191,11 +195,16 @@ def bucket_grad_matmul(
       interpret: force Pallas interpret mode (defaults to True off-TPU).
       out_dtype: dtype of the emitted rolled gradient (f32 or bf16; the
         in-kernel bucket accumulation is f32 either way).
+      extend_cols: append a wrapped copy of the first ``extend_cols``
+        columns (for the unroll-reduce kernel's circular windows); fused
+        by XLA into the output rearrange instead of costing a separate
+        full-table copy.
 
     Returns:
-      grad_rolled [L, C*K, table_size] ``out_dtype`` (K = 2^D) where
-      ``grad_rolled[l, c*K + k, s] = sum over updates with key s of w_k * g_c``
-      and ``w_k`` is the trilinear weight of corner ``k``.
+      grad_rolled [L, K*C, table_size (+ extend_cols)] ``out_dtype``
+      (K = 2^D) where ``grad_rolled[l, k*C + c, s] = sum over updates
+      with key s of w_k * g_c`` and ``w_k`` is the trilinear weight of
+      corner ``k``.
     """
     L, B = sorted_keys.shape
     S = int(table_size)
@@ -222,7 +231,8 @@ def bucket_grad_matmul(
     stream = jnp.concatenate([keys_f[:, None, :], lanes], axis=1)  # [L, F1, B+M]
     stream = jnp.pad(stream, ((0, 0), (0, F1p - F1), (0, 0)))
 
-    edges = jnp.arange(NB + 1, dtype=jnp.int32) * _W
+    edges = (jnp.arange(NB + 1, dtype=jnp.int32) * _W).astype(
+        sorted_keys.dtype)
     starts = jax.vmap(lambda k: jnp.searchsorted(k, edges, side="left"))(
         sorted_keys
     ).astype(jnp.int32)  # [L, NB+1]
@@ -252,7 +262,12 @@ def bucket_grad_matmul(
     # Only the two non-minor axes (lo, b) swap; the 128-wide minor dim
     # stays contiguous, so this is a cheap block copy.
     raw = raw.reshape(L, C * K, _LO, NB, _HI)
-    return raw.transpose(0, 1, 3, 2, 4).reshape(L, C * K, S)
+    out = raw.transpose(0, 1, 3, 2, 4).reshape(L, C * K, S)
+    if extend_cols:
+        from .roll_kernels import wrap_extend
+
+        out = wrap_extend(out, extend_cols)
+    return out
 
 
 def bucket_grad_matmul_reference(
@@ -276,7 +291,8 @@ def bucket_grad_matmul_reference(
         bits[None, :, :, None] > 0, frac[:, None, :, :], 1.0 - frac[:, None, :, :]
     )  # [L, K, D, B]
     w = jnp.prod(t, axis=2)  # [L, K, B]
-    pay = (grads[:, :, None, :] * w[:, None, :, :]).reshape(L, C * K, B)
+    # k-major payload rows f = k*C + c (matches bucket_grad_matmul)
+    pay = (w[:, :, None, :] * grads[:, None, :, :]).reshape(L, C * K, B)
 
     def one(k_l, p_l):
         z = jnp.zeros((table_size, C * K), p_l.dtype)
@@ -286,213 +302,10 @@ def bucket_grad_matmul_reference(
 
 
 # ---------------------------------------------------------------------------
-# Canonical-target variant: emit table-space gradients directly
-# ---------------------------------------------------------------------------
-#
-# The rolled-output kernel above produces grad wrt the ROLLED table
-# [L, C*K, S]; the caller must then apply 8 adjoint corner rolls (+512 MB
-# of traffic) to reach the canonical [L, S, C] gradient (measured 9.5 ms,
-# docs/profile_r3.md A5) plus a 512 MB output rearrange.  This variant
-# exploits that the linear hash's corner targets are STATIC shifts of the
-# sorted base keys: for corner k, the updates contributing to canonical
-# bucket [b*W, (b+1)*W) occupy a contiguous window of the sorted stream,
-# s in [b*W - off[l,k], b*W + W - off[l,k]) mod S — so each (level,
-# bucket) program walks 8 per-corner windows (searchsorted outside) and
-# accumulates straight into canonical table positions.  Output is
-# [L, C, S]-shaped (64 MB at chest scale, 8x less than the rolled grad),
-# and the adjoint rolls disappear entirely.
-#
-# MEASURED OUTCOME (docs/profile_r3.md A4b): 65.6 ms vs the rolled
-# kernel's 14.3 + 9.5 ms — 2.7x SLOWER overall, because every stream
-# element is re-visited once per corner (8 one-hot matmul passes) while
-# the rolled kernel computes all 8 corners from a single visit.  Kept as
-# a correct, tested alternative; ``backward="bucket"`` stays the default.
-
-_W2 = 16384           # canonical bucket width = _LO2 * _HI
-_LO2 = _W2 // _HI     # 128 (VPU factor; HI=128 stays the MXU factor)
-_M2 = 1024            # sorted-stream chunk per inner step
-
-
-def _canonical_kernel(starts_ref, offs_ref, stream_ref, out_ref, pbuf, acc,
-                      sems, *, D, K, C, S):
-    F1 = 1 + D + C
-    l = pl.program_id(0)
-    b = pl.program_id(1)
-    bits = _corner_bits(D)  # [K, D] python ints
-
-    acc[...] = jnp.zeros_like(acc)
-
-    def _dma(start, slot):
-        return pltpu.make_async_copy(
-            stream_ref.at[l, :, pl.ds(start, _M2)],
-            pbuf.at[slot],
-            sems.at[slot],
-        )
-
-    def run(k, off, base, n, lob, hib):
-        """Process one contiguous stream run [base, base + n*M2) for
-        corner ``k``, masking positions outside [lob, hib).
-
-        All DMA offsets are affine in the loop index (base + j*M2) —
-        scalar ``select``s feeding DMA offsets crash the Mosaic compiler.
-        """
-        @pl.when(n > 0)
-        def _():
-            _dma(base, 0).start()
-
-        def body(j, carry):
-            slot = jax.lax.rem(j, 2)
-
-            @pl.when(j + 1 < n)
-            def _():
-                _dma(base + (j + 1) * _M2, 1 - slot).start()
-
-            _dma(base + j * _M2, slot).wait()
-            chunk = pbuf[slot]  # (F1p, M2) f32
-            keys = chunk[0:1, :]
-            frac = chunk[1 : 1 + D, :]
-            g = chunk[1 + D : F1, :]
-
-            # Mask by exact stream POSITION range of the current run.  The
-            # target-locality one-hot alone is NOT sufficient here: chunk
-            # overflow past one wrap-run's end can reach positions the
-            # OTHER run also processes, and those elements are genuine
-            # members (double count).  Position bounds are exact; this
-            # also masks sentinel padding and alignment strays.
-            pos = base + j * _M2 + jax.lax.broadcasted_iota(
-                jnp.int32, (1, _M2), 1)
-            wk = ((pos >= lob) & (pos < hib)).astype(jnp.float32)
-            for d in range(D):
-                t = frac[d : d + 1, :]
-                wk = wk * (t if bits[k, d] else (1.0 - t))
-
-            # canonical target position within bucket b
-            u = keys.astype(jnp.int32) + off            # [0, 2S)
-            t_idx = u - jnp.where(u >= S, S, 0)         # (s + off) mod S
-            t_loc = t_idx - b * _W2                     # in [0, W2) iff member
-            lo_idx = jax.lax.div(t_loc, _HI)
-            hi_idx = t_loc - lo_idx * _HI
-
-            oh_hi = (
-                jax.lax.broadcasted_iota(jnp.int32, (_HI, _M2), 0) == hi_idx
-            ).astype(jnp.float32)
-            oh_lo = (
-                jax.lax.broadcasted_iota(jnp.int32, (_LO2, _M2), 0) == lo_idx
-            ).astype(jnp.float32)
-
-            pay = jnp.concatenate([wk * g[c : c + 1, :] for c in range(C)], 0)
-            p2 = (pay[:, None, :] * oh_lo[None, :, :]).reshape(C * _LO2, _M2)
-            acc[...] += jax.lax.dot_general(
-                p2, oh_hi,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )
-            return carry
-
-        jax.lax.fori_loop(0, n, body, 0)
-
-    NB = pl.num_programs(1)
-    for k in range(K):  # static unroll over corners
-        off = offs_ref[l, k]
-        # starts is [L, K*NB*3]: a flat minor dim — SMEM pads EVERY minor
-        # dim to 128 lanes, so a [L, K, NB, 3] layout would inflate 16x8x
-        # 32x3 ints to 2 MB and overflow the 1 MB SMEM (chest-scale
-        # compile failure); flattened it stays ~50 KB.
-        idx = (k * NB + b) * 3
-        p0 = starts_ref[l, idx]
-        p1 = starts_ref[l, idx + 1]
-        p3 = starts_ref[l, idx + 2]
-        p0a = (p0 // 128) * 128  # DMA lane alignment; strays self-mask
-        # p1 >= p0 >= p0a always, so no clamp needed on the count.
-        run(k, off, p0a, pl.cdiv(p1 - p0a, _M2), p0, p1)
-        # wrap run [0, p3); count 0 when the window does not wrap
-        run(k, off, 0, pl.cdiv(p3, _M2), 0, p3)
-
-    out_ref[0] = acc[...]
-
-
-def bucket_grad_matmul_canonical(
-    sorted_keys: jax.Array,
-    sorted_frac: jax.Array,
-    sorted_grads: jax.Array,
-    corner_offs,
-    *,
-    table_size: int,
-    input_dim: int,
-    interpret: bool | None = None,
-) -> jax.Array:
-    """Segment-sum sorted hash-grid updates DIRECTLY into canonical
-    per-level gradient tables.
-
-    Args as :func:`bucket_grad_matmul`, plus ``corner_offs`` [L, 2^D]
-    int32/numpy: the linear-hash corner offsets (``(bits . a) mod S``).
-
-    Returns grad_table [L, S, C] f32 — no rolled intermediate, no adjoint
-    rolls.
-    """
-    import numpy as _np
-
-    L, B = sorted_keys.shape
-    S = int(table_size)
-    D = int(input_dim)
-    K = 1 << D
-    C = sorted_grads.shape[1]
-    F1 = 1 + D + C
-    F1p = -(-F1 // 8) * 8
-    assert S % _W2 == 0, f"table_size {S} must be a multiple of {_W2}"
-    NB = S // _W2
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
-
-    pad = _M2 + 256
-    keys_f = jnp.pad(
-        sorted_keys.astype(jnp.float32), ((0, 0), (0, pad)),
-        constant_values=float(S))
-    lanes = jnp.concatenate([sorted_frac, sorted_grads], axis=1)
-    lanes = jnp.pad(lanes.astype(jnp.float32), ((0, 0), (0, 0), (0, pad)))
-    stream = jnp.concatenate([keys_f[:, None, :], lanes], axis=1)
-    stream = jnp.pad(stream, ((0, 0), (0, F1p - F1), (0, 0)))
-
-    offs = jnp.asarray(_np.asarray(corner_offs), jnp.int32)  # [L, K]
-    # Per-(level, corner, bucket) sorted-stream windows.
-    bws = jnp.arange(NB, dtype=jnp.int32) * _W2              # [NB]
-    w0 = (bws[None, None, :] - offs[:, :, None]) % S         # [L, K, NB]
-    w1 = w0 + _W2
-    wrap = w1 > S
-
-    def _ss(keys_l, w0_l, w1_l, wrap_l):
-        p0 = jnp.searchsorted(keys_l, w0_l, side="left")
-        p1 = jnp.searchsorted(keys_l, jnp.minimum(w1_l, S), side="left")
-        p3 = jnp.where(wrap_l,
-                       jnp.searchsorted(keys_l, w1_l - S, side="left"), 0)
-        return jnp.stack([p0, p1, p3], axis=-1)
-
-    starts = jax.vmap(_ss)(sorted_keys, w0, w1, wrap).astype(jnp.int32)
-    starts = starts.reshape(L, K * NB * 3)  # flat minor: see kernel note
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(L, NB),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec(
-            (1, C * _LO2, _HI), lambda l, b, starts, offs: (l, 0, b)
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((2, F1p, _M2), jnp.float32),
-            pltpu.VMEM((C * _LO2, _HI), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-    )
-    raw = pl.pallas_call(
-        functools.partial(_canonical_kernel, D=D, K=K, C=C, S=S),
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct(
-            (L, C * _LO2, NB * _HI), jnp.float32,
-            vma=_out_vma(sorted_keys, sorted_frac, sorted_grads)),
-        interpret=interpret,
-    )(starts, offs, stream)
-    # raw[l, (c, lo), (b, hi)] -> grad[l, c, s], s = b*W2 + lo*HI + hi
-    raw = raw.reshape(L, C, _LO2, NB, _HI)
-    grad_cs = raw.transpose(0, 1, 3, 2, 4).reshape(L, C, S)
-    return grad_cs.transpose(0, 2, 1)  # [L, S, C]
+# A "canonical-target" kernel variant (emitting table-space gradients
+# directly by walking 8 per-corner windows of the sorted stream) was
+# shipped in r3/r4 and removed in r5: it measured 2.7x slower than this
+# rolled kernel + the corner-roll reduce (every stream element re-visited
+# once per corner; docs/profile_r3.md A4b, docs/batch_scaling_r4.md), and
+# the Pallas unroll-reduce kernel (ops/roll_kernels.py) removed the
+# adjoint-roll cost that motivated it.

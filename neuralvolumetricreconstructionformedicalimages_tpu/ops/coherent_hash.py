@@ -285,7 +285,8 @@ def _forward(x01, table, spec: HashGridSpec, table_dtype):
 
 
 def _backward(spec: HashGridSpec, table_dtype, backward, shape_LSC, res, g):
-    from .bucket_matmul import bucket_grad_matmul, bucket_grad_matmul_canonical
+    from .bucket_matmul import bucket_grad_matmul
+    from .roll_kernels import _PAD, unroll_reduce_fm
 
     L, S, C = shape_LSC
     D = spec.input_dim
@@ -295,47 +296,27 @@ def _backward(spec: HashGridSpec, table_dtype, backward, shape_LSC, res, g):
     g = g.reshape(B, L, C).astype(jnp.float32)
 
     # ----- grad wrt table: sort + bucket one-hot matmul (no scatter) -----
-    keys = base.T  # [L, B]
-    # Payload lanes carried through the sort: D fractional positions + C
-    # output grads (corner weights are recomputed inside the kernel —
-    # fewer lanes means a cheaper bitonic sort, measured on v5e).
+    # f32 keys (exact < 2^24) + no stability: the f32 unstable sort is
+    # ~7x the int32 stable sort's speed on v5e (docs/span_gather_r5.md);
+    # tie order only permutes the in-bucket f32 summation order, which
+    # stays deterministic for a fixed input.
+    keys = base.T.astype(jnp.float32)  # [L, B]
     lanes = [frac[:, :, d].T for d in range(D)] + [g[:, :, c].T for c in range(C)]
-    sorted_all = jax.lax.sort((keys, *lanes), dimension=-1, num_keys=1)
+    sorted_all = jax.lax.sort((keys, *lanes), dimension=-1, num_keys=1,
+                              is_stable=False)
     sk = sorted_all[0]
     sf = jnp.stack(sorted_all[1 : 1 + D], axis=1)  # [L, D, B]
     sg = jnp.stack(sorted_all[1 + D :], axis=1)  # [L, C, B]
 
-    offs = corner_offsets(spec)  # [L, K] numpy
-
-    if backward == "canonical":
-        # One kernel pass emits the canonical [L, S, C] gradient: the
-        # per-corner windows of the sorted stream are walked in-kernel, so
-        # neither the 512 MB rolled gradient nor the 8 adjoint corner
-        # rolls exist (docs/profile_r3.md A4+A5 ~ 24 ms -> ~6 ms).
-        grad_table = bucket_grad_matmul_canonical(
-            sk, sf, sg, offs, table_size=S, input_dim=D)
-    else:
-        # The rolled gradient + adjoint rolls are table-shaped (batch-
-        # independent) HBM traffic — the step's dominant fixed cost
-        # (docs/profile_r3.md A4+A5).  With a bf16 gather table the rolled
-        # GRADIENT is emitted in bf16 too, halving both the kernel's
-        # output write and the roll round-trips; the in-kernel bucket sums
-        # and the cross-corner accumulation below stay f32, so only the
-        # per-(corner, entry) partial sums round once.
-        grad_rolled = bucket_grad_matmul(
-            sk, sf, sg, table_size=S, input_dim=D, out_dtype=table_dtype,
-        )  # [L, C*K, S]
-
-        # Inverse rolls: canonical_grad[l, j, c] = sum_k rolled_grad[l, c*K+k]
-        # rolled forward used roll(-off); its adjoint is roll(+off).
-        gr = grad_rolled.reshape(L, C, n_corners, S)
-        acc = 0.0
-        for k in range(n_corners):  # static shifts (see build_rolled_table)
-            acc = acc + jnp.stack(
-                [jnp.roll(gr[l, :, k, :], int(offs[l, k]), axis=-1)
-                 for l in range(L)]
-            ).astype(jnp.float32)  # [L, C, S]
-        grad_table = acc.transpose(0, 2, 1)  # [L, S, C]
+    # Rolled-layout gradient (k-major rows), wrap-extended so the Pallas
+    # unroll-reduce streams it straight back to canonical space — the XLA
+    # adjoint corner rolls this replaced measured 9.5-17 ms
+    # (docs/profile_r3.md A5, VERDICT r4 next-#2).
+    grad_rolled = bucket_grad_matmul(
+        sk, sf, sg, table_size=S, input_dim=D, out_dtype=table_dtype,
+        extend_cols=_PAD,
+    )  # [L, K*C, S+_PAD]
+    grad_table = unroll_reduce_fm(grad_rolled, spec, C)  # [L, S, C]
 
     # ----- grad wrt x01: analytic through the trilinear weights ---------
     vals_kc = vals.reshape(B, L, n_corners, C).astype(jnp.float32)

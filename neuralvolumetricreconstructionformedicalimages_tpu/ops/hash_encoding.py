@@ -268,10 +268,12 @@ def _he_bwd(spec, carry, g):
 
     # ---- table grad: corner-expanded sorted stream + bucket matmul ----
     # element (b, l, k): key idx[b,l,k]; payload lane c = w[b,l,k]*g[b,l,c]
-    keys = idx.transpose(1, 0, 2).reshape(L, B * K)            # [L, B*K]
+    # f32 unstable sort: see ops/coherent_hash._backward.
+    keys = idx.transpose(1, 0, 2).reshape(L, B * K).astype(jnp.float32)
     pay = w[..., None] * g[:, :, None, :]                      # [B, L, K, C]
     lanes = [pay[..., c].transpose(1, 0, 2).reshape(L, B * K) for c in range(C)]
-    sorted_all = jax.lax.sort((keys, *lanes), dimension=-1, num_keys=1)
+    sorted_all = jax.lax.sort((keys, *lanes), dimension=-1, num_keys=1,
+                              is_stable=False)
     sk = sorted_all[0]
     sf = jnp.zeros((L, 0, B * K), jnp.float32)                 # D=0: no frac lanes
     sg = jnp.stack(sorted_all[1:], axis=1)                     # [L, C, B*K]

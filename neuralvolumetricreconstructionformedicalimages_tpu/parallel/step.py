@@ -115,11 +115,19 @@ def _check_vma(spec: DensityFieldSpec) -> bool:
     exact configuration (interpret-mode + bucket path active) is exempted.
     """
     enc = getattr(spec, "encoder", None)
+    grid = getattr(enc, "grid", None)
     uses_pallas = (
-        getattr(enc, "hash_variant", None) == "coherent"
+        grid is not None
         and getattr(enc, "fast", False)
-        and getattr(enc, "backward", "take") in ("bucket", "canonical")
-        and enc.grid.table_size % (16384 if enc.backward == "canonical" else 2048) == 0
+        and grid.table_size % 2048 == 0
+        and (
+            # coherent: bucket backward and/or the sorted span forward
+            (getattr(enc, "hash_variant", None) == "coherent"
+             and getattr(enc, "backward", "take") != "take")
+            # xor: hash_encode_fast's bucket backward (ADVICE r4 #1)
+            or (getattr(enc, "hash_variant", None) == "xor"
+                and getattr(enc, "backward", "take") != "take")
+        )
     )
     interpreted = jax.default_backend() != "tpu"
     return not (uses_pallas and interpreted)

@@ -101,7 +101,7 @@ def main():
         load_config, with_defaults)
     from neuralvolumetricreconstructionformedicalimages_tpu.losses import masked_mse
     from neuralvolumetricreconstructionformedicalimages_tpu.ops.bucket_matmul import (
-        bucket_grad_matmul, bucket_grad_matmul_canonical)
+        bucket_grad_matmul)
     from neuralvolumetricreconstructionformedicalimages_tpu.ops.coherent_hash import (
         base_and_frac, build_rolled_table, coherent_encode,
         coherent_encode_prebuilt)
@@ -184,19 +184,8 @@ def main():
 
     offs = CH.corner_offsets(grid)
 
-    if S % 16384 == 0:
-        t_canon = timed(
-            "A4b canonical kernel (no rolls)",
-            rep2(lambda k, aux: bucket_grad_matmul_canonical(
-                k, aux[0], aux[1], offs, table_size=S, input_dim=D)),
-            sk, (sf, sg))
-
-        def enc_bwd_canon(x, tab):
-            return jax.grad(lambda t: jnp.sum(
-                coherent_encode(x, t, grid, jnp.float32, "canonical") * 1e-3
-            ))(tab)
-
-        timed("A6b encoder fwd+bwd (canonical)", rep2(enc_bwd_canon), x01, table)
+    # (canonical-kernel A4b/A6b stages removed in r5 with the kernel;
+    # measurements preserved in docs/profile_r3.md A4b)
     gr_in = jnp.zeros((L, C * (1 << D), S), jnp.float32)
 
     def adjoint_rolls(gr):
@@ -242,28 +231,6 @@ def main():
     t_full = timed("B4 full step (adds dense Adam)", rep2(full), rays,
                    (params, state["opt_state"]))
     print(f"   [B4 -> {N_RAYS/t_full:,.0f} rays/s]", flush=True)
-
-    if S % 16384 == 0:
-        cfg_c = dict(cfg)
-        cfg_c["encoder"] = dict(cfg["encoder"], backward="canonical")
-        spec_c = build_model(cfg_c)
-
-        def loss_c(p, r):
-            out = render_rays(r, p, spec_c, n_samples=N_SAMPLES,
-                              perturb=False, key=None)
-            return masked_mse(out["acc"], target, None)
-
-        g_c = jax.grad(loss_c)
-
-        def full_c(r, aux):
-            prm, ost = aux
-            gr = g_c(prm, r)
-            upd, _ = opt.update({"coarse": gr}, ost, {"coarse": prm})
-            return upd
-
-        t_full_c = timed("B5 full step (canonical bwd)", rep2(full_c), rays,
-                         (params, state["opt_state"]))
-        print(f"   [B5 -> {N_RAYS/t_full_c:,.0f} rays/s]", flush=True)
 
     # ---- frozen eval path (VERDICT r2 #4) -------------------------------
     frozen = spec.freeze(params)

@@ -40,8 +40,7 @@ def main() -> None:
                    help="encoder backward: 'take' (pure XLA — the right "
                         "choice on the CPU mesh, where the Pallas kernel "
                         "would run in interpret mode and measure the "
-                        "interpreter, not the collective layer) | 'bucket' "
-                        "| 'canonical'")
+                        "interpreter, not the collective layer) | 'bucket'")
     p.add_argument("--out", default=None, help="optional markdown report path")
     args = p.parse_args()
 

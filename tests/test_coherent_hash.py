@@ -223,51 +223,80 @@ class TestPrebuiltAndDtype:
 SPEC14 = HashGridSpec(num_levels=5, base_resolution=4, log2_hashmap_size=14)
 
 
-class TestCanonicalBackward:
-    """The canonical-target kernel (direct table-space accumulation, no
-    rolled gradient / adjoint rolls) must match the oracle gradients."""
+class TestSortedForward:
+    """The sorted span-gather forward (ops/span_gather.py) and the Pallas
+    corner-roll kernels (ops/roll_kernels.py) must match the pure-jnp
+    oracle bit-for-bit (unpacked) / to quantization (packed).
 
-    def _grad_pair(self, x01, rng):
+    The 'canonical-target' backward kernel these tests used to cover was
+    removed in r5 (2.7x slower than the bucket path, docs/profile_r3.md
+    A4b); its role — skipping the adjoint rolls — is now filled by the
+    unroll-reduce kernel tested here.
+    """
+
+    def test_forward_matches_oracle(self, rng):
+        from neuralvolumetricreconstructionformedicalimages_tpu.ops.span_gather import (
+            sorted_encode)
+
+        x01 = _points(rng, 1500)  # non-multiple of the 1024 chunk
+        table = SPEC14.init(jax.random.key(1))
+        ref = coherent_encode_reference(x01, table, SPEC14)
+        out = sorted_encode(x01, table, SPEC14, jnp.float32, False)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+    def test_packed_forward_close(self, rng):
+        from neuralvolumetricreconstructionformedicalimages_tpu.ops.span_gather import (
+            sorted_encode)
+
+        x01 = _points(rng, 700)
+        table = SPEC14.init(jax.random.key(1))
+        ref = coherent_encode_reference(x01, table, SPEC14)
+        out = sorted_encode(x01, table, SPEC14, jnp.float32, True)
+        scale = float(np.abs(np.asarray(ref)).max())
+        assert float(np.abs(np.asarray(out - ref)).max()) < 0.02 * scale + 1e-4
+
+    def test_table_grads_match_oracle(self, rng):
+        from neuralvolumetricreconstructionformedicalimages_tpu.ops.span_gather import (
+            sorted_encode)
+
+        x01 = jnp.concatenate(
+            [jnp.full((700, 3), 0.625, jnp.float32), _points(rng, 68)])
         table = SPEC14.init(jax.random.key(1))
         ct = jnp.asarray(
             rng.normal(size=(x01.shape[0], SPEC14.output_dim)).astype(np.float32))
+        gt_r = jax.grad(
+            lambda t: jnp.vdot(coherent_encode_reference(x01, t, SPEC14), ct)
+        )(table)
+        gt_s = jax.grad(
+            lambda t: jnp.vdot(sorted_encode(x01, t, SPEC14, jnp.float32, False), ct)
+        )(table)
+        np.testing.assert_allclose(np.asarray(gt_r), np.asarray(gt_s), atol=3e-4)
 
-        def loss(fn, *extra):
-            return lambda x, t: jnp.vdot(fn(x, t, SPEC14, *extra), ct)
+    def test_roll_kernels_match_references(self, rng):
+        from neuralvolumetricreconstructionformedicalimages_tpu.ops.roll_kernels import (
+            _PAD, roll_broadcast_fm, unroll_reduce_fm, wrap_extend)
+        from neuralvolumetricreconstructionformedicalimages_tpu.ops.span_gather import (
+            roll_broadcast_reference, unroll_reduce_reference)
 
-        gx_r, gt_r = jax.grad(loss(coherent_encode_reference), (0, 1))(x01, table)
-        gx_c, gt_c = jax.grad(
-            loss(coherent_encode, jnp.float32, "canonical"), (0, 1))(x01, table)
-        return (gx_r, gt_r), (gx_c, gt_c)
+        # S = 2^14 exercises the Pallas kernels; the fm layout is k-major.
+        table = SPEC14.init(jax.random.key(2))
+        R = roll_broadcast_fm(table, SPEC14)
+        R_ref = roll_broadcast_reference(table, SPEC14)
+        np.testing.assert_array_equal(np.asarray(R), np.asarray(R_ref))
 
-    def test_grads_match_oracle(self, rng):
-        x01 = _points(rng, 517)
-        (gx_r, gt_r), (gx_c, gt_c) = self._grad_pair(x01, rng)
-        np.testing.assert_allclose(np.asarray(gt_r), np.asarray(gt_c), atol=2e-5)
-        np.testing.assert_allclose(np.asarray(gx_r), np.asarray(gx_c), atol=1e-5)
-
-    def test_duplicate_heavy_points(self, rng):
-        x01 = jnp.concatenate(
-            [jnp.full((700, 3), 0.625, jnp.float32), _points(rng, 68)])
-        (gx_r, gt_r), (gx_c, gt_c) = self._grad_pair(x01, rng)
-        np.testing.assert_allclose(np.asarray(gt_r), np.asarray(gt_c), atol=3e-4)
-
-    def test_boundary_points(self, rng):
-        """Points at cell/table boundaries stress the wrap windows (the
-        per-corner stream window crosses the table end for some buckets)."""
-        edges = jnp.asarray(rng.choice([0.0, 0.999999, 0.5, 0.25],
-                                       size=(256, 3)).astype(np.float32))
-        x01 = jnp.concatenate([edges, _points(rng, 64)])
-        (gx_r, gt_r), (gx_c, gt_c) = self._grad_pair(x01, rng)
-        np.testing.assert_allclose(np.asarray(gt_r), np.asarray(gt_c), atol=3e-4)
+        L, S, C = table.shape
+        G = jnp.asarray(rng.normal(size=(L, 8 * C, S)).astype(np.float32))
+        U = unroll_reduce_fm(wrap_extend(G, _PAD), SPEC14, C)
+        U_ref = unroll_reduce_reference(G, SPEC14)
+        np.testing.assert_allclose(np.asarray(U), np.asarray(U_ref), atol=1e-4)
 
     def test_encoder_spec_dispatch(self, rng):
-        """backward='canonical' requires S % 16384 == 0 and must produce the
-        same training gradients as the default path."""
+        """forward='sorted' (the default) must produce the oracle features
+        through the HashEncoderSpec.apply dispatch."""
         from neuralvolumetricreconstructionformedicalimages_tpu.models.encoders import (
             HashEncoderSpec)
 
-        enc = HashEncoderSpec(grid=SPEC14, backward="canonical")
+        enc = HashEncoderSpec(grid=SPEC14, forward="sorted", pack_sort=False)
         params = enc.init(jax.random.key(0))
         x = jnp.asarray(rng.uniform(-0.2, 0.2, (97, 3)).astype(np.float32))
         out = enc.apply(params, x, 0.2)
@@ -289,11 +318,9 @@ def test_kernel_channel_and_dim_variants(rng, level_dim, input_dim):
         return lambda t: jnp.vdot(fn(x01, t, spec, *extra), ct)
 
     gt_ref = jax.grad(loss(coherent_encode_reference))(table)
-    for backward in ("bucket", "canonical"):
-        gt = jax.grad(loss(coherent_encode, jnp.float32, backward))(table)
-        np.testing.assert_allclose(
-            np.asarray(gt_ref), np.asarray(gt), atol=2e-5,
-            err_msg=f"backward={backward}")
+    gt = jax.grad(loss(coherent_encode, jnp.float32, "bucket"))(table)
+    np.testing.assert_allclose(
+        np.asarray(gt_ref), np.asarray(gt), atol=2e-5)
 
 
 class TestBf16GradientPath:
