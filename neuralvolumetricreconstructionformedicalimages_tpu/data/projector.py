@@ -69,16 +69,36 @@ def trilinear_sample(volume: jax.Array, pts: jax.Array, geo: G.ConeGeometry) -> 
     return jnp.where(inside, v, 0.0)
 
 
-@functools.partial(jax.jit, static_argnames=("geo", "n_samples"))
-def project_angles(volume: jax.Array, geo: G.ConeGeometry, angles: jax.Array,
-                   n_samples: int = 0) -> jax.Array:
-    """X-ray transform: projections [n_angles, H, W] of ``volume``.
+def _tpu_guard() -> None:
+    """Refuse to dispatch the projector to a (remote) TPU by default.
 
-    ``n_samples`` = samples per ray (0 -> one sample per voxel diagonal
-    step, i.e. ~2x the max voxel count — conservative Nyquist for the
-    line integral; the ``accuracy`` field of the reference geometry plays
-    the same role in TIGRE).
+    On this image's remote-TPU platform the projector program reproducibly
+    KILLS the TPU worker process (kernel fault, 3x observed in round 4 at
+    every detector size; repro: ``scripts/repro_projector_tpu_fault.py``;
+    writeup: ``docs/projector_tpu_fault.md``).  A wedged worker takes the
+    chip away from everything else for 10-45 min, so the TPU path is
+    opt-in via ``NVR_PROJECTOR_ON_TPU=1`` — generation on the host CPU
+    takes ~1-2 min at 187 x 1024^2 (``scripts/real_scale_train.py``) and
+    is the supported path.
     """
+    import os
+
+    if os.environ.get("NVR_PROJECTOR_ON_TPU") == "1":
+        return
+    if jax.default_backend() not in ("cpu",):
+        raise RuntimeError(
+            "project_angles: refusing to run on the TPU backend — this "
+            "program reproducibly crashes the remote TPU worker (see "
+            "docs/projector_tpu_fault.md). Run it on CPU (e.g. "
+            "jax.config.update('jax_platforms', 'cpu') in a generation "
+            "subprocess, as scripts/real_scale_train.py does), or set "
+            "NVR_PROJECTOR_ON_TPU=1 to override."
+        )
+
+
+@functools.partial(jax.jit, static_argnames=("geo", "n_samples"))
+def _project_angles_impl(volume: jax.Array, geo: G.ConeGeometry,
+                         angles: jax.Array, n_samples: int = 0) -> jax.Array:
     near, far = G.get_near_far(geo)
     if n_samples == 0:
         n_samples = 2 * int(np.max(geo.nVoxel))
@@ -87,18 +107,23 @@ def project_angles(volume: jax.Array, geo: G.ConeGeometry, angles: jax.Array,
     z_vals = near * (1.0 - t) + far * t                     # [S]
     dt = (far - near) / (n_samples - 1)
 
-    # Tile detector rows so the [rows, W, S, 3] point tensor stays ~<=0.5 GB
+    # Tile detector rows so the [rows, W, S, 3] point tensor stays <=128 MB
     # per tile (a full 1024^2 view at 512 samples is a 6.4 GB intermediate
-    # and OOMs a 16 GB chip with its gather temporaries).
+    # and OOMs a 16 GB chip with its gather temporaries).  The row count is
+    # padded UP to a multiple of the tile (strip rows discarded) rather
+    # than requiring an exact divisor — a prime detector height would
+    # otherwise degrade to H one-row map iterations (ADVICE r4 #5).
     W_det, H_det = geo.nDetector
     budget_rows = max(1, (1 << 27) // max(1, W_det * n_samples * 12))
-    row_tile = H_det
-    while row_tile > budget_rows or H_det % row_tile:
-        row_tile -= 1
+    row_tile = min(H_det, budget_rows)
+    n_tiles = -(-H_det // row_tile)
+    pad_rows = n_tiles * row_tile - H_det
 
     def one_angle(angle):
         ro, rd = G.rays_for_angle(geo, angle)               # [H, W, 3]
         norm = jnp.linalg.norm(rd, axis=-1)                 # [H, W]
+        ro_p = jnp.pad(ro, ((0, pad_rows), (0, 0), (0, 0)))
+        rd_p = jnp.pad(rd, ((0, pad_rows), (0, 0), (0, 0)))
 
         def rows(args):
             ro_r, rd_r = args                               # [T, W, 3]
@@ -107,8 +132,24 @@ def project_angles(volume: jax.Array, geo: G.ConeGeometry, angles: jax.Array,
 
         sig = jax.lax.map(
             rows,
-            (ro.reshape(-1, row_tile, W_det, 3), rd.reshape(-1, row_tile, W_det, 3)),
-        ).reshape(H_det, W_det)
+            (ro_p.reshape(n_tiles, row_tile, W_det, 3),
+             rd_p.reshape(n_tiles, row_tile, W_det, 3)),
+        ).reshape(n_tiles * row_tile, W_det)[:H_det]
         return sig * dt * norm
 
     return jax.lax.map(one_angle, jnp.asarray(angles, jnp.float32))
+
+
+def project_angles(volume: jax.Array, geo: G.ConeGeometry, angles: jax.Array,
+                   n_samples: int = 0) -> jax.Array:
+    """X-ray transform: projections [n_angles, H, W] of ``volume``.
+
+    ``n_samples`` = samples per ray (0 -> one sample per voxel diagonal
+    step, i.e. ~2x the max voxel count — conservative Nyquist for the
+    line integral; the ``accuracy`` field of the reference geometry plays
+    the same role in TIGRE).
+
+    CPU-only by default on TPU platforms — see :func:`_tpu_guard`.
+    """
+    _tpu_guard()
+    return _project_angles_impl(volume, geo, angles, n_samples)

@@ -150,14 +150,22 @@ def _kernel(starts_ref, stream_ref, out_ref, pbuf, acc, sems, *, D, K, C):
         pay = (w[:, None, :] * g[None, :, :]).reshape(C * K, _M)
         # VPU: pre-multiply the LO one-hot -> (F2*LO, M)
         p2 = (pay[:, None, :] * oh_lo[None, :, :]).reshape(C * K * _LO, _M)
-        # MXU: contract the HI one-hot -> (F2*LO, HI).  HIGHEST precision:
-        # TPU default would round the f32 payload to bf16 (~0.4% error).
-        acc[...] += jax.lax.dot_general(
-            p2,
-            oh_hi,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+        # MXU: contract the HI one-hot -> (F2*LO, HI) with a manual
+        # two-pass bf16 split of the f32 payload (p = hi + lo exactly
+        # captures ~16 mantissa bits; the one-hot side is exact in bf16,
+        # so two passes recover f32-grade accuracy at 1/3 the cost of the
+        # HIGHEST 6-pass contraction this kernel used through r4 — the
+        # kernel is matmul-bound.  Mosaic supports only DEFAULT/HIGHEST
+        # dot precisions, hence the manual split).
+        p_hi = p2.astype(jnp.bfloat16)
+        p_lo = (p2 - p_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        oh_hi16 = oh_hi.astype(jnp.bfloat16)
+        dn = (((1,), (1,)), ((), ()))
+        acc[...] += (
+            jax.lax.dot_general(p_hi, oh_hi16, dimension_numbers=dn,
+                                preferred_element_type=jnp.float32)
+            + jax.lax.dot_general(p_lo, oh_hi16, dimension_numbers=dn,
+                                  preferred_element_type=jnp.float32)
         )
         return carry
 

@@ -122,6 +122,24 @@ def base_and_frac(spec: HashGridSpec, x01: jax.Array) -> Tuple[jax.Array, jax.Ar
     return raw & jnp.int32(spec.table_size - 1), frac
 
 
+def base_and_frac_t(spec: HashGridSpec, x01: jax.Array):
+    """Level-major variant of :func:`base_and_frac`.
+
+    Returns ``base`` [L, B] int32 and ``frac`` [L, D, B] f32 — the layout
+    the per-level sorts consume directly, so the sorted forward/backward
+    skip ~200 MB of pre-sort transposes at the 4096-ray chest step.
+    """
+    xT = x01.T.astype(jnp.float32)                          # [D, B]
+    scales = jnp.asarray(spec.scales)                       # [L]
+    pos = xT[None, :, :] * scales[:, None, None] + 0.5      # [L, D, B]
+    pos_grid = jnp.floor(pos)
+    frac = pos - pos_grid
+    g = pos_grid.astype(jnp.int32)
+    mult = jnp.asarray(multipliers(spec))                   # [L, D]
+    raw = jnp.sum(g * mult[:, :, None], axis=1)             # [L, B]
+    return raw & jnp.int32(spec.table_size - 1), frac
+
+
 def corner_weights(spec: HashGridSpec, frac: jax.Array) -> jax.Array:
     """Trilinear weights [B, L, 2^D] from frac [B, L, D]."""
     bits = jnp.asarray(corner_bits(spec.input_dim), jnp.float32)  # [2^D, D]

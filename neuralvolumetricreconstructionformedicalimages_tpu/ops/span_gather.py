@@ -56,6 +56,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .coherent_hash import (
     base_and_frac,
+    base_and_frac_t,
     corner_bits,
     corner_offsets,
 )
@@ -371,6 +372,23 @@ def unpack_frac(pk: jax.Array) -> jax.Array:
     return jnp.stack([fx, fy, fz], axis=-1)
 
 
+def pack_frac_t(frac_t: jax.Array) -> jax.Array:
+    """Level-major :func:`pack_frac`: [L, 3, B] f32 -> [L, B] int32."""
+    hi = jnp.asarray([2047.0, 2047.0, 1023.0])[None, :, None]
+    q = jnp.clip(frac_t * hi + 0.5, 0, hi).astype(jnp.int32)
+    return q[:, 0] | (q[:, 1] << 11) | (q[:, 2] << 22)
+
+
+def unpack_frac_t(pk: jax.Array) -> jax.Array:
+    """Inverse of :func:`pack_frac_t`: [L, B] int32 -> [L, 3, B] f32."""
+    fx = (pk & 2047).astype(jnp.float32) * (1.0 / 2047.0)
+    fy = ((jax.lax.shift_right_logical(pk, 11)) & 2047).astype(
+        jnp.float32) * (1.0 / 2047.0)
+    fz = ((jax.lax.shift_right_logical(pk, 22)) & 1023).astype(
+        jnp.float32) * (1.0 / 1023.0)
+    return jnp.stack([fx, fy, fz], axis=1)
+
+
 def _pack_feats(fs: jax.Array) -> jax.Array:
     """[L, C=2, B] f32 -> [L, B] int32 (bf16 pair): c0 high, c1 low."""
     u = jax.lax.bitcast_convert_type(
@@ -390,10 +408,14 @@ def _unpack_feats(pk: jax.Array) -> jax.Array:
 
 
 def sorted_encode_features(
-    base: jax.Array, frac: jax.Array, rolled_fm: jax.Array,
+    base_t: jax.Array, frac_t: jax.Array, rolled_fm: jax.Array,
     input_dim: int, pack: bool = True,
 ) -> jax.Array:
-    """Point-order features [B, L*C] from base/frac via sort->kernel->unsort.
+    """Point-order features [B, L*C] via sort -> span kernel -> unsort.
+
+    Args:
+      base_t: [L, B] int32 level-major base indices (``base_and_frac_t``).
+      frac_t: [L, D, B] f32 level-major in-cell positions.
 
     ``pack=True`` (the fast path) compresses the sort payloads: fracs ride
     the forward sort as one 11/11/10-bit int32 lane and features ride the
@@ -402,7 +424,7 @@ def sorted_encode_features(
     quality-neutral for training, docs/hash_quality.md); ``pack=False``
     keeps everything f32-exact.
     """
-    B, L = base.shape
+    L, B = base_t.shape
     D = int(input_dim)
     S = rolled_fm.shape[2]
     K = 1 << D
@@ -416,12 +438,12 @@ def sorted_encode_features(
     # lane.  Nothing here needs tie order: duplicates are identical keys
     # (position rides along explicitly) and the un-permuting sort's keys
     # are unique.
-    keys = _pad_to(base.T, Bp, 1, S - 1).astype(jnp.float32)  # [L, Bp]
+    keys = _pad_to(base_t, Bp, 1, S - 1).astype(jnp.float32)  # [L, Bp]
     pos = jnp.broadcast_to(
         jnp.arange(Bp, dtype=jnp.float32)[None, :], (L, Bp))
 
     if pack and D == 3 and C == 2:
-        pf = _pad_to(pack_frac(frac).T, Bp, 1, 0)            # [L, Bp] int32
+        pf = _pad_to(pack_frac_t(frac_t), Bp, 1, 0)          # [L, Bp] int32
         sk, sp, spf = jax.lax.sort(
             (keys, pos, pf), dimension=-1, num_keys=1, is_stable=False)
         feats_sorted = span_gather_sorted(
@@ -432,7 +454,7 @@ def sorted_encode_features(
         out = _unpack_feats(packed.T[:B])                    # [B, L, 2]
         return out.reshape(B, L * C)
 
-    fr = _pad_to(frac.transpose(1, 2, 0), Bp, 2, 0.0)        # [L, D, Bp]
+    fr = _pad_to(frac_t, Bp, 2, 0.0)                         # [L, D, Bp]
     ops = jax.lax.sort(
         (keys, pos, *(fr[:, d] for d in range(D))), dimension=-1,
         num_keys=1, is_stable=False)
@@ -453,15 +475,15 @@ def _sorted_forward(x01, table, spec: HashGridSpec, table_dtype, pack):
     from .roll_kernels import roll_broadcast_fm
 
     rolled_fm = roll_broadcast_fm(table, spec, table_dtype)
-    base, frac = base_and_frac(spec, x01)
+    base_t, frac_t = base_and_frac_t(spec, x01)
     pack = pack and spec.input_dim == 3 and spec.level_dim == 2
     if pack:
         # Quantize the residual fracs to the packed 11/11/10-bit grid so
         # the backward differentiates the function the forward computed.
-        frac = unpack_frac(pack_frac(frac))
+        frac_t = unpack_frac_t(pack_frac_t(frac_t))
     out = sorted_encode_features(
-        base, frac, rolled_fm, spec.input_dim, pack=pack)
-    return out, (base, frac)
+        base_t, frac_t, rolled_fm, spec.input_dim, pack=pack)
+    return out, (base_t, frac_t)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
@@ -491,21 +513,21 @@ def sorted_encode(
 
 
 def _se_fwd(x01, table, spec, table_dtype, pack):
-    out, (base, frac) = _sorted_forward(x01, table, spec, table_dtype, pack)
-    return out, (base, frac, table.shape, x01.shape)
+    out, (base_t, frac_t) = _sorted_forward(x01, table, spec, table_dtype, pack)
+    return out, (base_t, frac_t, table.shape, x01.shape)
 
 
 def _se_bwd(spec, table_dtype, pack, res, g):
     from .bucket_matmul import bucket_grad_matmul
     from .roll_kernels import _PAD, unroll_reduce_fm
 
-    base, frac, (L, S, C), x_shape = res
+    base_t, frac_t, (L, S, C), x_shape = res
     D = spec.input_dim
-    B = base.shape[0]
+    B = base_t.shape[1]
     g = g.reshape(B, L, C).astype(jnp.float32)
 
-    keys = base.T.astype(jnp.float32)                        # [L, B]
-    lanes = [frac[:, :, d].T for d in range(D)] + [
+    keys = base_t.astype(jnp.float32)                        # [L, B]
+    lanes = [frac_t[:, d] for d in range(D)] + [
         g[:, :, c].T for c in range(C)]
     sorted_all = jax.lax.sort((keys, *lanes), dimension=-1, num_keys=1,
                               is_stable=False)

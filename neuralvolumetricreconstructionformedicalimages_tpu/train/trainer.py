@@ -205,6 +205,7 @@ class Trainer:
         self.state = init_state(cfg, self.spec, self.steps_per_epoch, k_init)
         self.epoch_start = 0
         self.global_step = 0
+        self.last_epoch = 0
 
         # Checkpointing (Orbax; max_to_keep=2 ~ ckpt + backup, trainer.py:114-126)
         import orbax.checkpoint as ocp
@@ -297,11 +298,22 @@ class Trainer:
         return float(sched(self.global_step))
 
     # -- loop ------------------------------------------------------------
-    def start(self) -> None:
-        """Main loop (src/trainer.py:83-131)."""
+    def start(self, deadline: Optional[float] = None) -> None:
+        """Main loop (src/trainer.py:83-131).
+
+        ``deadline``: optional absolute ``time.time()`` budget; training
+        stops cleanly BETWEEN epochs once it passes (never interrupting an
+        in-flight device call), leaving ``self.last_epoch`` at the last
+        completed epoch.
+        """
         timer = StepTimer()
         t_start = time.time()
         for idx_epoch in range(self.epoch_start, self.epochs + 1):
+            if deadline is not None and time.time() > deadline:
+                print(f"[deadline] stopping before epoch {idx_epoch} "
+                      f"({time.time() - t_start:.0f}s elapsed)")
+                break
+            self.last_epoch = idx_epoch
             if self.i_eval > 0 and (idx_epoch % self.i_eval == 0 or idx_epoch == self.epochs):
                 metrics = self.eval_step(self.global_step, idx_epoch)
                 msg = ", ".join(f"{k}: {v:.4g}" for k, v in metrics.items())

@@ -286,3 +286,36 @@ class TestOnTheFlyRays:
 
         assert 187 * 1024 * 1024 * 8 * 4 > D._RAY_TENSOR_BYTES_LIMIT  # brain real
         assert 50 * 256 * 256 * 8 * 4 < D._RAY_TENSOR_BYTES_LIMIT     # chest
+
+
+def test_projector_tpu_guard(monkeypatch):
+    """The projector must refuse TPU backends by default: the program
+    reproducibly kills the remote TPU worker (docs/projector_tpu_fault.md);
+    NVR_PROJECTOR_ON_TPU=1 overrides."""
+    import pytest as _pytest
+
+    from neuralvolumetricreconstructionformedicalimages_tpu.data import projector
+
+    monkeypatch.setattr(projector.jax, "default_backend", lambda: "tpu")
+    monkeypatch.delenv("NVR_PROJECTOR_ON_TPU", raising=False)
+    vol = jnp.zeros((4, 4, 4))
+    with _pytest.raises(RuntimeError, match="projector_tpu_fault"):
+        projector.project_angles(vol, GEO, jnp.asarray([0.0]), n_samples=8)
+    monkeypatch.setenv("NVR_PROJECTOR_ON_TPU", "1")
+    projector.project_angles(vol, GEO, jnp.asarray([0.0]), n_samples=8)
+
+
+def test_projector_prime_detector_height():
+    """A detector height with no divisor under the row budget must still
+    tile (rows padded up, not degraded to one-row map iterations)."""
+    import neuralvolumetricreconstructionformedicalimages_tpu.geometry as _G
+
+    geo = _G.ConeGeometry(
+        DSD=1.5, DSO=1.0, nDetector=(16, 13), dDetector=(0.01, 0.01),
+        nVoxel=(16, 16, 16), dVoxel=(0.008, 0.008, 0.008), mode="parallel")
+    from neuralvolumetricreconstructionformedicalimages_tpu.data.projector import (
+        project_angles as pa)
+
+    out = pa(jnp.ones((16, 16, 16)), geo, jnp.asarray([0.3]), n_samples=32)
+    assert out.shape == (1, 13, 16)
+    assert bool(jnp.isfinite(out).all())
