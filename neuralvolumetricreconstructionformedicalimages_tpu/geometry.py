@@ -122,7 +122,13 @@ def angle_to_pose(DSO: float, angle, tilt_angle_deg: float):
         jnp.stack([zero, -st * one, ct * one], -1),
     ], -2)
 
-    rot = R3 @ R21 @ R4
+    # HIGHEST precision: the TPU default demotes matmul operands to
+    # bf16, which quantizes ray origins to ~0.4% of DSO — multiple
+    # detector pixels at real-scan pitch, and catastrophic cancellation
+    # for anything differencing adjacent-pixel rays (found when axon-
+    # computed geometry zeroed the affine projector's basis vectors).
+    rot = jnp.matmul(jnp.matmul(R3, R21, precision="highest"), R4,
+                     precision="highest")
     trans = jnp.stack([DSO * c, DSO * s, DSO * jnp.tan(tilt) * one], -1)
 
     pose = jnp.zeros(angle.shape + (4, 4), dtype=jnp.float32)
@@ -162,13 +168,13 @@ def rays_for_angle(geo: ConeGeometry, angle):
 
     if geo.mode == "cone":
         dirs = jnp.stack([u / geo.DSD, v / geo.DSD, jnp.ones_like(u)], -1)
-        rays_d = jnp.einsum("ij,hwj->hwi", R, dirs)
+        rays_d = jnp.einsum("ij,hwj->hwi", R, dirs, precision="highest")
         rays_o = jnp.broadcast_to(t, rays_d.shape)
     elif geo.mode == "parallel":
         dirs = jnp.stack([jnp.zeros_like(u), jnp.zeros_like(u), jnp.ones_like(u)], -1)
-        rays_d = jnp.einsum("ij,hwj->hwi", R, dirs)
+        rays_d = jnp.einsum("ij,hwj->hwi", R, dirs, precision="highest")
         plane = jnp.stack([u, v, jnp.zeros_like(u)], -1)
-        rays_o = jnp.einsum("ij,hwj->hwi", R, plane) + t
+        rays_o = jnp.einsum("ij,hwj->hwi", R, plane, precision="highest") + t
     else:
         raise NotImplementedError(f"Unknown CT scanner mode {geo.mode!r}")
     return rays_o, rays_d
@@ -198,14 +204,14 @@ def rays_for_pixels(geo: ConeGeometry, angle, rows, cols):
 
     if geo.mode == "cone":
         dirs = jnp.stack([u / geo.DSD, v / geo.DSD, jnp.ones_like(u)], -1)
-        rays_d = jnp.einsum("ij,pj->pi", R, dirs)
+        rays_d = jnp.einsum("ij,pj->pi", R, dirs, precision="highest")
         rays_o = jnp.broadcast_to(t, rays_d.shape)
     elif geo.mode == "parallel":
         dirs = jnp.stack(
             [jnp.zeros_like(u), jnp.zeros_like(u), jnp.ones_like(u)], -1)
-        rays_d = jnp.einsum("ij,pj->pi", R, dirs)
+        rays_d = jnp.einsum("ij,pj->pi", R, dirs, precision="highest")
         plane = jnp.stack([u, v, jnp.zeros_like(u)], -1)
-        rays_o = jnp.einsum("ij,pj->pi", R, plane) + t
+        rays_o = jnp.einsum("ij,pj->pi", R, plane, precision="highest") + t
     else:
         raise NotImplementedError(f"Unknown CT scanner mode {geo.mode!r}")
     return rays_o, rays_d

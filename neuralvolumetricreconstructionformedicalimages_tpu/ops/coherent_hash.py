@@ -370,11 +370,15 @@ def coherent_encode(
 ) -> jax.Array:
     """Fast coherent hash encoding: [B, D] in [0,1] -> [B, L*C].
 
-    Forward: rolled-table wide-row gather.  Backward: deterministic
-    sort + MXU bucket-matmul (table grad) + analytic trilinear (input
-    grad); ``backward`` picks the kernel — "bucket" (rolled-gradient +
-    adjoint rolls) or "canonical" (direct table-space accumulation).
-    Numerics match ``coherent_encode_reference`` to the rolled-table dtype.
+    Forward: rolled-table wide-row gather (the r4 fast path; the r5
+    default is the sorted span-gather in ``ops/span_gather.py``, which
+    this remains the input-gradient-capable alternative to).  Backward:
+    deterministic sort + MXU bucket-matmul (table grad, reduced to
+    canonical layout by the Pallas unroll kernel) + analytic trilinear
+    (input grad).  ``backward`` is kept for API stability; "bucket" is
+    the only kernel (the "canonical" variant was removed in r5 —
+    docs/profile_r3.md A4b).  Numerics match
+    ``coherent_encode_reference`` to the rolled-table dtype.
     """
     out, _ = _forward(x01, table, spec, table_dtype)
     return out

@@ -56,21 +56,12 @@ OUTDIR = "docs/real_scale_train_r5"
 GEN_NPZ = "/tmp/nvr_realscale_gen_r5.npz"
 
 
-def gen_projections():
-    """CPU subprocess: synthesize the stack at NATIVE 1024^2 resolution.
+N_GEN_SHARDS = 2  # one per physical core (nproc=2)
 
-    The volume is the lamino-chip phantom smoothed by 1 voxel (the
-    realistic sharpness class — docs/quality_attribution_r4.md: PSNR on
-    binary-edge phantoms measures sub-voxel sharpness, not fidelity).
-    """
+
+def _gen_geo_vol():
     from scipy.ndimage import gaussian_filter
 
-    jax.config.update("jax_platforms", "cpu")
-    from neuralvolumetricreconstructionformedicalimages_tpu.data.projector import (
-        project_angles)
-
-    angles_deg = np.rad2deg(
-        np.load("data/angles_real.npy").astype(np.float64))[:N_VIEWS]
     vol = gaussian_filter(
         get_phantom("lamino_chip", (256, 256, 64)).astype(np.float32), 1.0)
     geo = G.ConeGeometry(
@@ -78,12 +69,62 @@ def gen_projections():
         nVoxel=(256, 256, 64), dVoxel=(0.0015, 0.0015, 0.0015),
         mode="parallel", tilt_angle=29.0,
     )
+    return geo, vol
+
+
+def gen_shard(shard: int) -> None:
+    """One CPU worker: project an interleaved slice of the 187 angles via
+    the affine fast path (the jitted XLA CPU path runs its gather
+    ~serially and would take >1 h at this size on 2 cores).
+
+    Pinned to CPU: besides the quarantined TPU fault, axon-computed ray
+    geometry was bf16-quantized before the geometry precision fix —
+    generation stays host-side on principle."""
+    jax.config.update("jax_platforms", "cpu")
+    from neuralvolumetricreconstructionformedicalimages_tpu.data.projector import (
+        project_angles_parallel_cpu)
+
+    angles_deg = np.rad2deg(
+        np.load("data/angles_real.npy").astype(np.float64))[:N_VIEWS]
+    geo, vol = _gen_geo_vol()
+    sel = np.arange(shard, N_VIEWS, N_GEN_SHARDS)
+    angles_rad = np.deg2rad(angles_deg[sel]).astype(np.float32)
     t0 = time.time()
-    angles_rad = np.deg2rad(angles_deg).astype(np.float32)
-    proj = np.asarray(project_angles(jnp.asarray(vol), geo, angles_rad, 320))
-    np.savez_compressed(GEN_NPZ, proj=proj.astype(np.float32), vol=vol,
-                        angles_deg=angles_deg)
-    print(f"[gen] NATIVE {proj.shape} in {time.time()-t0:.1f}s "
+    proj = project_angles_parallel_cpu(vol, geo, angles_rad, 320)
+    np.savez_compressed(GEN_NPZ + f".s{shard}.npz",
+                        proj=proj.astype(np.float32), sel=sel)
+    print(f"[gen s{shard}] {proj.shape} in {time.time()-t0:.0f}s", flush=True)
+
+
+def gen_projections():
+    """Synthesize the NATIVE 1024^2 stack with N_GEN_SHARDS parallel CPU
+    workers (XLA:CPU runs this program ~single-threaded; sharding the
+    angle axis across processes is the ~8x lever).
+
+    The volume is the lamino-chip phantom smoothed by 1 voxel (the
+    realistic sharpness class — docs/quality_attribution_r4.md).
+    """
+    import subprocess
+
+    t0 = time.time()
+    procs = [
+        subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), "--gen-shard", str(i)])
+        for i in range(N_GEN_SHARDS)
+    ]
+    for p in procs:
+        if p.wait() != 0:
+            raise RuntimeError("generation shard failed")
+    angles_deg = np.rad2deg(
+        np.load("data/angles_real.npy").astype(np.float64))[:N_VIEWS]
+    _, vol = _gen_geo_vol()
+    proj = np.zeros((N_VIEWS, H, W), np.float32)
+    for i in range(N_GEN_SHARDS):
+        d = np.load(GEN_NPZ + f".s{i}.npz")
+        proj[d["sel"]] = d["proj"]
+        os.remove(GEN_NPZ + f".s{i}.npz")
+    np.savez_compressed(GEN_NPZ, proj=proj, vol=vol, angles_deg=angles_deg)
+    print(f"[gen] NATIVE {proj.shape} in {time.time()-t0:.0f}s "
           f"range [{proj.min():.3f}, {proj.max():.3f}]", flush=True)
 
 
@@ -162,7 +203,9 @@ def main():
 
 
 if __name__ == "__main__":
-    if "--gen" in sys.argv:
+    if "--gen-shard" in sys.argv:
+        gen_shard(int(sys.argv[sys.argv.index("--gen-shard") + 1]))
+    elif "--gen" in sys.argv:
         gen_projections()
     else:
         main()

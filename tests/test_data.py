@@ -319,3 +319,24 @@ def test_projector_prime_detector_height():
     out = pa(jnp.ones((16, 16, 16)), geo, jnp.asarray([0.3]), n_samples=32)
     assert out.shape == (1, 13, 16)
     assert bool(jnp.isfinite(out).all())
+
+
+def test_parallel_cpu_projector_matches_jax():
+    """The affine fast-path CPU projector must match the jitted reference
+    projector (tilted parallel geometry included)."""
+    import neuralvolumetricreconstructionformedicalimages_tpu.geometry as _G
+    from neuralvolumetricreconstructionformedicalimages_tpu.data.phantoms import (
+        get_phantom)
+    from neuralvolumetricreconstructionformedicalimages_tpu.data.projector import (
+        project_angles, project_angles_parallel_cpu)
+
+    geo = _G.ConeGeometry(
+        DSD=1.5, DSO=1.0, nDetector=(48, 40), dDetector=(0.01, 0.01),
+        nVoxel=(64, 64, 64), dVoxel=(0.004, 0.004, 0.004),
+        mode="parallel", tilt_angle=29.0)
+    vol = np.asarray(get_phantom("ball", (64, 64, 64)), np.float32)
+    angles = np.linspace(0.1, 3.0, 3).astype(np.float32)
+    a = np.asarray(project_angles(jnp.asarray(vol), geo, angles, 160))
+    b = project_angles_parallel_cpu(vol, geo, angles, 160)
+    assert np.abs(a).max() > 0.01
+    np.testing.assert_allclose(b, a, atol=0.02 * float(np.abs(a).max()))
