@@ -142,7 +142,12 @@ def main():
     # unit-amplitude complex field, phase = scaled line integral in [0, 2]
     # rad (non-negative: Beer-Lambert accumulation is >= 0); beam aperture
     # -> ptycho mask (see scripts/real_scale_train.py for rationale).
-    phase = proj / max(1e-6, proj.max()) * 2.0
+    # Phase scale 0.35 rad max: the density field ends in a sigmoid
+    # (config parity), so per-point densities are <= 1 and the integral
+    # along a ~0.55-length path caps near 0.55 — a [0, 2] rad target (the
+    # r4 choice) is unrepresentable by construction (the first r5 attempt
+    # saturated at pred == 1.0 everywhere and plateaued at loss 0.83).
+    phase = proj / max(1e-6, proj.max()) * 0.35
     yy, xx = np.mgrid[0:H, 0:W]
     beam = (np.hypot(yy - H / 2, xx - W / 2) < 0.48 * H).astype(np.float32)
     cplx = (beam * np.exp(1j * phase)).astype(np.complex64)
@@ -169,6 +174,9 @@ def main():
         T.load_dataset = orig_load
     print(f"ray_mode={tr.train_dset.ray_mode} use_mask={tr.use_mask} "
           f"steps/epoch={tr.steps_per_epoch} n_rays={tr.n_rays}", flush=True)
+    # i_eval=0 skips periodic evals (time budget) — construct the val
+    # dataset manually so the FINAL eval still runs.
+    tr.eval_dset = make_dataset(data, "val", n_rays=N_RAYS)
     assert tr.train_dset.ray_mode == "onthefly"
     assert tr.use_mask, "beam mask must be active"
 
