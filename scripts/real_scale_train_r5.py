@@ -142,12 +142,13 @@ def main():
     # unit-amplitude complex field, phase = scaled line integral in [0, 2]
     # rad (non-negative: Beer-Lambert accumulation is >= 0); beam aperture
     # -> ptycho mask (see scripts/real_scale_train.py for rationale).
-    # Phase scale 0.35 rad max: the density field ends in a sigmoid
-    # (config parity), so per-point densities are <= 1 and the integral
-    # along a ~0.55-length path caps near 0.55 — a [0, 2] rad target (the
-    # r4 choice) is unrepresentable by construction (the first r5 attempt
-    # saturated at pred == 1.0 everywhere and plateaued at loss 0.83).
-    phase = proj / max(1e-6, proj.max()) * 0.35
+    # Phase scale such that the POINTWISE density the field must
+    # represent stays inside the sigmoid's [0, 1] range: the field fits
+    # sigma = (phase_max / max_line_integral) * vol, so phase_max must be
+    # <= max_line_integral / vol_max.  (The first r5 attempts used 2.0
+    # and then 0.35 rad and saturated: 2.0 needs sigma ~30, 0.35 ~5.4.)
+    phase_max = 0.9 * float(proj.max()) / max(1e-6, float(vol.max()))
+    phase = proj / max(1e-6, proj.max()) * phase_max
     yy, xx = np.mgrid[0:H, 0:W]
     beam = (np.hypot(yy - H / 2, xx - W / 2) < 0.48 * H).astype(np.float32)
     cplx = (beam * np.exp(1j * phase)).astype(np.complex64)
